@@ -1,0 +1,686 @@
+"""Vectorized partition-local aggregation kernel.
+
+This is the compute kernel that runs inside ``groupby(bucket).map_groups`` /
+actor-pool ``map_batches`` stages after the hash(entity)xtime shuffle.  Given
+one co-partitioned group of (events, queries) it evaluates every
+AggregationPart at every query timestamp under the sawtooth membership rule
+
+    round(q - w, tail_hop) <= ev.ts < round(q, head_rounding)
+
+(reference NaiveAggregator.scala:38-44; head_rounding=1 for TEMPORAL).
+
+Design — everything is numpy over the whole partition, no per-row Python in
+the hot ops (reference mutates Array[Any] rows one at a time,
+RowAggregator.scala:25-29; we instead exploit Arrow/numpy columns):
+
+  * events sorted once by (entity_code, ts, tie); queries by (entity_code, ts)
+  * per-query window bounds found with ONE composite-key ``np.searchsorted``
+    per (window, side) over the whole partition
+  * engines per operation class:
+      - PREFIX   sum/count/average: cumsum arrays, result = prefix[r]-prefix[l]
+      - POSITION first/last/first_k/last_k: direct slices of the sorted,
+        null-compressed value array (no aggregation tree needed at all)
+      - SEGTREE  min/max/variance/skew/kurtosis/top_k/bottom_k: disjoint
+        binary-block segment tree with *vectorized* monoid merges; O(log n)
+        lockstep merge rounds for all queries at once
+      - OBJECT   unique_count/histogram/sketches/bucketed/element-wise: hop
+        tiles (prepare_many per tile) + per-query python merges — mirrors the
+        reference HopsAggregator -> SawtoothAggregator stitch
+        (HopsAggregator.scala:33-165, SawtoothAggregator.scala:64-139)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..api import AggregationPart, Operation
+from .scalar_ops import ScalarOp, make_scalar_op
+from .windowing import FiveMinuteResolution, round_down
+
+_PREFIX_OPS = {Operation.SUM, Operation.COUNT, Operation.AVERAGE}
+_POSITION_OPS = {Operation.FIRST, Operation.LAST, Operation.FIRST_K, Operation.LAST_K}
+_SEGTREE_OPS = {
+    Operation.MIN,
+    Operation.MAX,
+    Operation.VARIANCE,
+    Operation.SKEW,
+    Operation.KURTOSIS,
+    Operation.TOP_K,
+    Operation.BOTTOM_K,
+}
+
+_NEG_INF = np.iinfo(np.int64).min // 4
+
+
+def factorize_multi(columns_list: list[list[np.ndarray]]) -> tuple[list[np.ndarray], int]:
+    """Jointly factorize tuples of key columns across several frames.
+
+    Returns per-frame int64 entity codes and the number of distinct entities.
+    """
+    lens = [len(cols[0]) if cols else 0 for cols in columns_list]
+    ncols = len(columns_list[0])
+    combined_codes = []
+    for ci in range(ncols):
+        concat = np.concatenate([np.asarray(cols[ci], dtype=object) for cols in columns_list])
+        codes, _ = pd.factorize(concat, use_na_sentinel=False)
+        combined_codes.append(codes)
+    if ncols == 1:
+        joint = combined_codes[0]
+    else:
+        mixed = combined_codes[0].astype(np.int64)
+        for ci in range(1, ncols):
+            card = combined_codes[ci].max() + 1 if len(combined_codes[ci]) else 1
+            mixed = mixed * np.int64(card) + combined_codes[ci]
+        joint, _ = pd.factorize(mixed)
+    n_entities = int(joint.max()) + 1 if len(joint) else 0
+    out, off = [], 0
+    for ln in lens:
+        out.append(joint[off : off + ln].astype(np.int64))
+        off += ln
+    return out, n_entities
+
+
+class _Column:
+    """Per-input-column preprocessed state over the sorted events."""
+
+    def __init__(self, raw, ts_sorted: np.ndarray):
+        if isinstance(raw, pd.Series):
+            raw = raw.to_numpy()
+        self.raw = raw
+        if raw.dtype.kind == "f":
+            self.valid = ~np.isnan(raw)
+            self.numeric = raw
+        elif raw.dtype.kind in "iub":
+            self.valid = np.ones(len(raw), dtype=bool)
+            self.numeric = raw
+        else:  # object / string: None and nan are nulls
+            self.valid = np.array([v is not None and v == v for v in raw], dtype=bool)
+            self.numeric = None
+        # exclusive prefix count of valid values: cum_valid[i] = #valid in [0, i)
+        self.cum_valid = np.zeros(len(raw) + 1, dtype=np.int64)
+        np.cumsum(self.valid, out=self.cum_valid[1:])
+        self.comp_vals = raw[self.valid]  # null-compressed values, still ts-sorted
+        self.comp_ts = ts_sorted[self.valid]
+        self._cumsum = None
+
+    def compress(self, l: np.ndarray, r: np.ndarray):
+        """Map raw index ranges to null-compressed index ranges."""
+        return self.cum_valid[l], self.cum_valid[r]
+
+    @property
+    def cumsum(self) -> np.ndarray:
+        if self._cumsum is None:
+            if self.numeric is None:
+                raise TypeError("sum/average over non-numeric column")
+            vals = np.where(self.valid, self.numeric, 0)
+            dtype = np.int64 if vals.dtype.kind in "iub" else np.float64
+            cs = np.zeros(len(vals) + 1, dtype=dtype)
+            np.cumsum(vals.astype(dtype), out=cs[1:])
+            self._cumsum = cs
+        return self._cumsum
+
+
+# ---------------------------------------------------------------------------
+# SEGTREE engine: vectorized monoid merges over disjoint binary blocks
+# ---------------------------------------------------------------------------
+
+
+class VectorIR:
+    """Struct-of-arrays IR with validity; vectorized commutative merge."""
+
+    fields: tuple[str, ...] = ()
+
+    def __init__(self, part: AggregationPart):
+        self.part = part
+
+    def leaf(self, vals: np.ndarray) -> dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def combine(self, a: dict, b: dict) -> dict:
+        raise NotImplementedError
+
+    def finalize(self, state: dict, valid: np.ndarray):
+        raise NotImplementedError
+
+    def alloc(self, n: int, like: dict) -> dict:
+        return {f: np.zeros((n,) + like[f].shape[1:], dtype=like[f].dtype) for f in self.fields}
+
+
+class MinMaxIR(VectorIR):
+    fields = ("v",)
+
+    def __init__(self, part):
+        super().__init__(part)
+        self.is_min = part.operation is Operation.MIN
+
+    def leaf(self, vals):
+        return {"v": vals.copy()}
+
+    def combine(self, a, b):
+        if a["v"].dtype.kind == "O":
+            take_b = np.array([y < x if self.is_min else y > x for x, y in zip(a["v"], b["v"])])
+        else:
+            take_b = b["v"] < a["v"] if self.is_min else b["v"] > a["v"]
+        return {"v": np.where(take_b, b["v"], a["v"])}
+
+    def finalize(self, state, valid):
+        v = state["v"]
+        if v.dtype.kind == "f":
+            return np.where(valid, v, np.nan)
+        out = v.astype(object)
+        out[~valid] = None
+        return out
+
+
+class MomentsIR(VectorIR):
+    """Welford (variance) / 4-moment (skew, kurtosis) vectorized merge
+    (formulas from SimpleAggregators.scala:163-247, 872-975)."""
+
+    def __init__(self, part):
+        super().__init__(part)
+        self.four = part.operation in (Operation.SKEW, Operation.KURTOSIS)
+        self.fields = ("n", "m1", "m2", "m3", "m4") if self.four else ("n", "m1", "m2")
+
+    def leaf(self, vals):
+        v = vals.astype(np.float64)
+        n = np.ones(len(v))
+        z = np.zeros(len(v))
+        out = {"n": n, "m1": v, "m2": z}
+        if self.four:
+            out["m3"] = z.copy()
+            out["m4"] = z.copy()
+        return out
+
+    def combine(self, a, b):
+        an, bn = a["n"], b["n"]
+        n = an + bn
+        delta = b["m1"] - a["m1"]
+        m1 = (an * a["m1"] + bn * b["m1"]) / n
+        m2 = a["m2"] + b["m2"] + delta * (delta / n) * an * bn
+        out = {"n": n, "m1": m1, "m2": m2}
+        if self.four:
+            d2 = delta * delta
+            m3 = (
+                a["m3"]
+                + b["m3"]
+                + d2 * delta * an * bn * (an - bn) / (n * n)
+                + 3.0 * delta * (an * b["m2"] - bn * a["m2"]) / n
+            )
+            m4 = (
+                a["m4"]
+                + b["m4"]
+                + d2 * d2 * an * bn * (an * an - an * bn + bn * bn) / (n**3)
+                + 6.0 * d2 * (an * an * b["m2"] + bn * bn * a["m2"]) / (n * n)
+                + 4.0 * delta * (an * b["m3"] - bn * a["m3"]) / n
+            )
+            out["m3"] = m3
+            out["m4"] = m4
+        return out
+
+    def finalize(self, state, valid):
+        n, m2 = state["n"], state["m2"]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if self.part.operation is Operation.VARIANCE:
+                out = m2 / n
+            elif self.part.operation is Operation.SKEW:
+                out = np.where((n < 3) | (m2 == 0), np.nan, np.sqrt(n) * state["m3"] / m2**1.5)
+            else:
+                out = np.where((n < 4) | (m2 == 0), np.nan, n * state["m4"] / (m2 * m2) - 3)
+        return np.where(valid, out, np.nan)
+
+
+class TopKIR(VectorIR):
+    """(n, k) value matrices padded with +/-inf->nan; merge = concat+sort+slice."""
+
+    fields = ("v",)
+
+    def __init__(self, part):
+        super().__init__(part)
+        self.k = int(part.arg("k"))
+        self.desc = part.operation is Operation.TOP_K
+
+    def leaf(self, vals):
+        n = len(vals)
+        m = np.full((n, self.k), np.nan)
+        m[:, 0] = vals.astype(np.float64)
+        return {"v": m}
+
+    def combine(self, a, b):
+        cat = np.concatenate([a["v"], b["v"]], axis=1)
+        if self.desc:
+            cat = -np.sort(-cat, axis=1)  # descending, nans stay last
+        else:
+            cat = np.sort(cat, axis=1)
+        return {"v": cat[:, : self.k]}
+
+    def finalize(self, state, valid):
+        out = np.empty(len(valid), dtype=object)
+        v = state["v"]
+        for i in range(len(valid)):
+            if valid[i]:
+                row = v[i]
+                out[i] = [float(x) for x in row[~np.isnan(row)]]
+            else:
+                out[i] = None
+        return out
+
+
+def _make_vector_ir(part: AggregationPart) -> VectorIR:
+    op = part.operation
+    if op in (Operation.MIN, Operation.MAX):
+        return MinMaxIR(part)
+    if op in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
+        return MomentsIR(part)
+    return TopKIR(part)
+
+
+class SegTree:
+    """Bottom-up segment tree of VectorIR states; queries answered for all
+    rows at once with O(log n) vectorized merge rounds."""
+
+    def __init__(self, ir: VectorIR, vals: np.ndarray):
+        self.ir = ir
+        n = len(vals)
+        self.n = n
+        self.levels: list[dict] = []
+        if n == 0:
+            return
+        state = ir.leaf(vals)
+        self.levels.append(state)
+        while n > 1:
+            half = n // 2
+            a = {f: state[f][0 : 2 * half : 2] for f in ir.fields}
+            b = {f: state[f][1 : 2 * half : 2] for f in ir.fields}
+            merged = ir.combine(a, b)
+            if n % 2:
+                merged = {f: np.concatenate([merged[f], state[f][-1:]]) for f in ir.fields}
+            state = merged
+            n = (n + 1) // 2
+            self.levels.append(state)
+
+    def query(self, l: np.ndarray, r: np.ndarray):
+        """Aggregate over [l, r) per row; returns (state, valid)."""
+        nq = len(l)
+        ir = self.ir
+        valid = np.zeros(nq, dtype=bool)
+        if self.n == 0 or nq == 0:
+            return None, valid
+        acc = {f: np.zeros((nq,) + self.levels[0][f].shape[1:], dtype=self.levels[0][f].dtype) for f in ir.fields}
+        l = l.copy()
+        r = r.copy()
+        for level in self.levels:
+            if not (l < r).any():
+                break
+            m1 = ((l & 1) == 1) & (l < r)
+            self._absorb(acc, valid, level, l, m1)
+            l = np.where(m1, l + 1, l)
+            m2 = ((r & 1) == 1) & (l < r)
+            r = np.where(m2, r - 1, r)
+            self._absorb(acc, valid, level, r, m2)
+            l >>= 1
+            r >>= 1
+        return acc, valid
+
+    def _absorb(self, acc, valid, level, idx, mask):
+        rows = np.flatnonzero(mask)
+        if len(rows) == 0:
+            return
+        g = idx[rows]
+        a_valid = valid[rows]
+        copy_rows, copy_g = rows[~a_valid], g[~a_valid]
+        for f in self.ir.fields:
+            acc[f][copy_rows] = level[f][copy_g]
+        valid[copy_rows] = True
+        both, bg = rows[a_valid], g[a_valid]
+        if len(both):
+            merged = self.ir.combine(
+                {f: acc[f][both] for f in self.ir.fields},
+                {f: level[f][bg] for f in self.ir.fields},
+            )
+            for f in self.ir.fields:
+                acc[f][both] = merged[f]
+
+
+# ---------------------------------------------------------------------------
+# OBJECT engine helpers
+# ---------------------------------------------------------------------------
+
+
+class BucketedOp(ScalarOp):
+    """Sub-key aggregation: IR = {bucket: inner_ir}; output map[bucket->out]
+    (reference BucketedColumnAggregator.scala:1-94)."""
+
+    def __init__(self, inner: ScalarOp):
+        self.inner = inner
+        self.timed = inner.timed
+
+    def prepare(self, vb, ts=None):
+        v, b = vb
+        return {b: self.inner.prepare(v, ts)}
+
+    def update(self, ir, vb, ts=None):
+        v, b = vb
+        sub = ir.get(b)
+        ir[b] = self.inner.prepare(v, ts) if sub is None else self.inner.update(sub, v, ts)
+        return ir
+
+    def merge(self, ir1, ir2):
+        for b, sub in ir2.items():
+            if b in ir1:
+                ir1[b] = self.inner.merge(ir1[b], sub)
+            else:
+                ir1[b] = sub
+        return ir1
+
+    def finalize(self, ir):
+        return {b: self.inner.finalize(sub) for b, sub in ir.items()}
+
+
+class ElementWiseOp(ScalarOp):
+    """Aggregate list columns element-wise (reference ElementWiseAggregator.scala)."""
+
+    def __init__(self, inner: ScalarOp):
+        self.inner = inner
+        self.timed = inner.timed
+
+    def prepare(self, vec, ts=None):
+        return [self.inner.prepare(v, ts) for v in vec]
+
+    def update(self, ir, vec, ts=None):
+        for i, v in enumerate(vec):
+            if i < len(ir):
+                ir[i] = self.inner.update(ir[i], v, ts)
+            else:
+                ir.append(self.inner.prepare(v, ts))
+        return ir
+
+    def merge(self, ir1, ir2):
+        for i, sub in enumerate(ir2):
+            if i < len(ir1):
+                ir1[i] = self.inner.merge(ir1[i], sub)
+            else:
+                ir1.append(sub)
+        return ir1
+
+    def finalize(self, ir):
+        return [self.inner.finalize(sub) for sub in ir]
+
+
+def _prepare_many(op: ScalarOp, vals, tss) -> object:
+    ir = None
+    if op.timed:
+        for v, t in zip(vals, tss):
+            ir = op.prepare(v, t) if ir is None else op.update(ir, v, t)
+    else:
+        for v in vals:
+            ir = op.prepare(v) if ir is None else op.update(ir, v)
+    return ir
+
+
+def _clone_ir(ir):
+    import copy
+
+    return copy.deepcopy(ir)
+
+
+# ---------------------------------------------------------------------------
+# The partition aggregator
+# ---------------------------------------------------------------------------
+
+
+class PartitionAggregator:
+    """Evaluates agg parts for one co-partitioned (events, queries) group."""
+
+    def __init__(
+        self,
+        key_cols: list[str],
+        parts: list[AggregationPart],
+        resolution=FiveMinuteResolution,
+        head_rounding: int = 1,
+        tie_breaker: str | None = None,
+    ):
+        self.key_cols = key_cols
+        self.parts = parts
+        self.resolution = resolution
+        self.head_rounding = head_rounding
+        self.tie_breaker = tie_breaker
+
+    def aggregate(self, events: pd.DataFrame, queries: pd.DataFrame) -> pd.DataFrame:
+        """events: key_cols + ts + inputs; queries: key_cols + ts + passthrough.
+        Returns queries (re-ordered by (entity, ts)) + one column per part."""
+        (ev_ent, q_ent), _ = factorize_multi(
+            [
+                [events[c].to_numpy() for c in self.key_cols],
+                [queries[c].to_numpy() for c in self.key_cols],
+            ]
+        )
+        ev_ts = events["ts"].to_numpy().astype(np.int64)
+        q_ts = queries["ts"].to_numpy().astype(np.int64)
+
+        if self.tie_breaker and self.tie_breaker in events.columns:
+            tie = events[self.tie_breaker].to_numpy()
+            ev_order = np.lexsort((tie, ev_ts, ev_ent))
+        else:
+            ev_order = np.lexsort((ev_ts, ev_ent))
+        q_order = np.lexsort((q_ts, q_ent))
+
+        ev_ent_s, ev_ts_s = ev_ent[ev_order], ev_ts[ev_order]
+        q_ent_s, q_ts_s = q_ent[q_order], q_ts[q_order]
+        events_s = events.iloc[ev_order].reset_index(drop=True)
+        out = queries.iloc[q_order].reset_index(drop=True)
+
+        n = len(ev_ts_s)
+        if n:
+            tmin = int(ev_ts_s.min())
+            span = int(ev_ts_s.max()) - tmin + 2
+            max_ent = int(max(ev_ent_s.max(initial=0), q_ent_s.max(initial=0))) + 1
+            assert max_ent * span < (1 << 62), "composite key overflow; repartition finer"
+            ev_key = ev_ent_s * np.int64(span) + (ev_ts_s - tmin)
+        else:
+            tmin, span, ev_key = 0, 1, np.zeros(0, dtype=np.int64)
+
+        def bound_idx(bound_ts: np.ndarray) -> np.ndarray:
+            off = np.clip(bound_ts - tmin, 0, span - 1)
+            return np.searchsorted(ev_key, q_ent_s * np.int64(span) + off, side="left")
+
+        # cache: (lower, upper) raw index bounds per (window_millis, hop)
+        bounds_cache: dict = {}
+        cols: dict[str, _Column] = {}
+        segtrees: dict = {}
+
+        def get_bounds(part: AggregationPart):
+            if part.window.unbounded:
+                key = ("unbounded",)
+                if key not in bounds_cache:
+                    upper = (
+                        q_ts_s
+                        if self.head_rounding == 1
+                        else round_down(q_ts_s, self.head_rounding)
+                    )
+                    bounds_cache[key] = (bound_idx(np.full_like(q_ts_s, _NEG_INF)), bound_idx(upper))
+                return bounds_cache[key]
+            hop = self.resolution.tail_hop(part.window)
+            key = (part.window.millis, hop)
+            if key not in bounds_cache:
+                upper_ts = (
+                    q_ts_s if self.head_rounding == 1 else round_down(q_ts_s, self.head_rounding)
+                )
+                lower_ts = round_down(q_ts_s - part.window.millis, hop)
+                bounds_cache[key] = (bound_idx(lower_ts), bound_idx(upper_ts))
+            return bounds_cache[key]
+
+        def get_col(name: str) -> _Column:
+            if name not in cols:
+                cols[name] = _Column(events_s[name] if n else pd.Series([], dtype=object), ev_ts_s)
+            return cols[name]
+
+        for part in self.parts:
+            out[part.output_column] = self._eval_part(
+                part, events_s, ev_ts_s, ev_ent_s, get_col, get_bounds, segtrees, len(q_ts_s)
+            )
+        return out
+
+    # -- engines ----------------------------------------------------------
+
+    def _eval_part(self, part, events_s, ev_ts_s, ev_ent_s, get_col, get_bounds, segtrees, nq):
+        if len(ev_ts_s) == 0:
+            return np.full(nq, None, dtype=object) if nq else np.array([], dtype=object)
+        op = part.operation
+        if part.bucket is not None or part.element_wise:
+            return self._object_engine(part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq)
+        if op in _PREFIX_OPS:
+            return self._prefix_engine(part, get_col, get_bounds)
+        if op in _POSITION_OPS:
+            return self._position_engine(part, get_col, get_bounds, nq)
+        if op in _SEGTREE_OPS:
+            col = get_col(part.input_column)
+            if col.numeric is None and op not in (Operation.MIN, Operation.MAX):
+                return self._object_engine(part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq)
+            return self._segtree_engine(part, get_col, get_bounds, segtrees, nq)
+        return self._object_engine(part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq)
+
+    def _prefix_engine(self, part, get_col, get_bounds):
+        col = get_col(part.input_column)
+        l, r = get_bounds(part)
+        cnt = col.cum_valid[r] - col.cum_valid[l]
+        empty = cnt == 0
+        if part.operation is Operation.COUNT:
+            return _mask_int(cnt, empty)
+        cs = col.cumsum
+        s = cs[r] - cs[l]
+        if part.operation is Operation.SUM:
+            if cs.dtype.kind == "i":
+                return _mask_int(s, empty)
+            return np.where(empty, np.nan, s)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(empty, np.nan, s.astype(np.float64) / np.maximum(cnt, 1))
+
+    def _position_engine(self, part, get_col, get_bounds, nq):
+        col = get_col(part.input_column)
+        l, r = get_bounds(part)
+        lv, rv = col.compress(l, r)
+        has = rv > lv
+        vals = col.comp_vals
+        op = part.operation
+        if op in (Operation.FIRST, Operation.LAST):
+            idx = np.where(has, np.where(op is Operation.FIRST, lv, rv - 1), 0)
+            picked = vals[idx]
+            out = np.empty(nq, dtype=object)
+            out[:] = picked
+            out[~has] = None
+            return out
+        k = int(part.arg("k"))
+        if op is Operation.LAST_K:
+            start = np.maximum(lv, rv - k)
+            lengths = np.where(has, rv - start, 0)
+            # flat indices: rv-1, rv-2, ... descending ts (most recent first)
+            flat = _ranges(rv - 1, lengths, step=-1)
+        else:  # FIRST_K
+            end = np.minimum.reduce([rv, lv + k])
+            lengths = np.where(has, end - lv, 0)
+            flat = _ranges(lv, lengths, step=1)
+        picked = vals[flat]
+        offsets = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        out = np.empty(nq, dtype=object)
+        for i in range(nq):
+            out[i] = list(picked[offsets[i] : offsets[i + 1]]) if lengths[i] else None
+        return out
+
+    def _segtree_engine(self, part, get_col, get_bounds, segtrees, nq):
+        col = get_col(part.input_column)
+        tree_key = (part.input_column, part.operation, part.arg("k"))
+        if tree_key not in segtrees:
+            ir = _make_vector_ir(part)
+            segtrees[tree_key] = SegTree(ir, col.comp_vals)
+        tree = segtrees[tree_key]
+        l, r = get_bounds(part)
+        lv, rv = col.compress(l, r)
+        state, valid = tree.query(lv, rv)
+        if state is None:
+            return np.full(nq, None, dtype=object)
+        return tree.ir.finalize(state, valid)
+
+    def _object_engine(self, part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq):
+        op = make_scalar_op(part)
+        if part.element_wise:
+            op = ElementWiseOp(op)
+        col = get_col(part.input_column)
+        valid = col.valid
+        if part.bucket is not None:
+            bcol = get_col(part.bucket)
+            valid = valid & bcol.valid
+            vals_all = list(zip(col.raw, bcol.raw))
+            op = BucketedOp(op)
+        else:
+            vals_all = col.raw
+        l, r = get_bounds(part)
+        out = np.empty(nq, dtype=object)
+        if part.window.unbounded:
+            hop = self.resolution.hop_sizes[0]
+        else:
+            hop = self.resolution.tail_hop(part.window)
+        # hop tiles over the sorted events (contiguous per (entity, hop))
+        hop_start = round_down(ev_ts_s, hop)
+        tile_break = np.ones(len(ev_ts_s), dtype=bool)
+        tile_break[1:] = (np.diff(hop_start) != 0) | (np.diff(ev_ent_s) != 0)
+        tile_idx = np.cumsum(tile_break) - 1
+        tile_bounds = np.flatnonzero(tile_break)
+        tile_bounds = np.append(tile_bounds, len(ev_ts_s))
+        tiles: dict[int, object] = {}
+
+        def tile_ir(t):
+            if t not in tiles:
+                a, b = tile_bounds[t], tile_bounds[t + 1]
+                m = valid[a:b]
+                if not m.any():
+                    tiles[t] = None
+                else:
+                    vs = [vals_all[i] for i in range(a, b) if valid[i]]
+                    ts = ev_ts_s[a:b][m]
+                    tiles[t] = _prepare_many(op, vs, ts)
+            return tiles[t]
+
+        for i in range(nq):
+            li, ri = int(l[i]), int(r[i])
+            if li >= ri:
+                out[i] = None
+                continue
+            t0, t1 = tile_idx[li], tile_idx[ri - 1]
+            ir = None
+            # full tiles strictly inside; partial head/tail handled raw
+            for t in range(t0, t1 + 1):
+                a, b = tile_bounds[t], tile_bounds[t + 1]
+                if li <= a and b <= ri:
+                    sub = tile_ir(t)
+                else:  # partial tile: aggregate raw slice
+                    aa, bb = max(a, li), min(b, ri)
+                    m = valid[aa:bb]
+                    if not m.any():
+                        continue
+                    vs = [vals_all[j] for j in range(aa, bb) if valid[j]]
+                    sub = _prepare_many(op, vs, ev_ts_s[aa:bb][m])
+                if sub is None:
+                    continue
+                ir = _clone_ir(sub) if ir is None else op.merge(ir, _clone_ir(sub))
+            out[i] = None if ir is None else op.finalize(ir)
+        return out
+
+
+def _mask_int(vals: np.ndarray, empty: np.ndarray):
+    out = vals.astype(object)
+    out[empty] = None
+    return out
+
+
+def _ranges(starts: np.ndarray, lengths: np.ndarray, step: int) -> np.ndarray:
+    """Concatenate arithmetic ranges [starts[i], starts[i] +/- lengths[i])."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = np.repeat(starts, lengths)
+    within = np.arange(total) - np.repeat(offsets[:-1], lengths)
+    return flat + step * within

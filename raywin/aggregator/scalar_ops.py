@@ -1,0 +1,515 @@
+"""Scalar (row-at-a-time) aggregator contract: prepare/update/merge/finalize,
+optional delete for abelian-group ops.
+
+These are the reference-parity semantics (reference
+aggregator/src/main/scala/ai/chronon/aggregator/base/SimpleAggregators.scala and
+TimedAggregators.scala), used by the brute-force oracle, the object-IR hop-tile
+engine for non-vectorizable ops, and property tests.  The hot path uses the
+vectorized engines in ``vector.py``; these classes define ground truth.
+
+Semantics notes (verified against the reference):
+  * empty IR is ``None``; finalize(None) -> None (NaiveAggregator initializes
+    results to null and only updates on window match).
+  * AVERAGE finalize = sum / count (SimpleAggregators.scala:146-147).
+  * VARIANCE is the population variance m2 / n via Welford
+    (SimpleAggregators.scala:196-247).
+  * SKEW = sqrt(n) * m3 / m2^1.5, NaN when n < 3 or m2 == 0; KURTOSIS =
+    n * m4 / m2^2 - 3, NaN when n < 4 or m2 == 0
+    (SimpleAggregators.scala:977-983).
+  * LAST_K output is ordered most-recent-first; FIRST_K oldest-first
+    (TimedAggregators.scala:117-183).
+  * BOUNDED_UNIQUE_COUNT saturates at k and reports k
+    (SimpleAggregators.scala:603-708).
+  * HISTOGRAM counts per string key; delete decrements and drops zeros
+    (SimpleAggregators.scala:250-322).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from ..api import AggregationPart, Operation
+
+
+class ScalarOp:
+    """prepare/update/merge/finalize contract. IRs are plain Python values."""
+
+    deletable = False
+    timed = False  # update receives (ir, value, ts)
+
+    def prepare(self, v, ts=None):
+        raise NotImplementedError
+
+    def update(self, ir, v, ts=None):
+        raise NotImplementedError
+
+    def merge(self, ir1, ir2):
+        raise NotImplementedError
+
+    def finalize(self, ir):
+        return ir
+
+    def delete(self, ir, v, ts=None):
+        raise NotImplementedError(f"{type(self).__name__} is not deletable")
+
+
+class Sum(ScalarOp):
+    deletable = True
+
+    def prepare(self, v, ts=None):
+        return v
+
+    def update(self, ir, v, ts=None):
+        return ir + v
+
+    def merge(self, ir1, ir2):
+        return ir1 + ir2
+
+    def delete(self, ir, v, ts=None):
+        return ir - v
+
+
+class Count(ScalarOp):
+    deletable = True
+
+    def prepare(self, v, ts=None):
+        return 1
+
+    def update(self, ir, v, ts=None):
+        return ir + 1
+
+    def merge(self, ir1, ir2):
+        return ir1 + ir2
+
+    def delete(self, ir, v, ts=None):
+        return ir - 1
+
+
+class Average(ScalarOp):
+    deletable = True
+
+    def prepare(self, v, ts=None):
+        return [float(v), 1]
+
+    def update(self, ir, v, ts=None):
+        ir[0] += v
+        ir[1] += 1
+        return ir
+
+    def merge(self, ir1, ir2):
+        ir1[0] += ir2[0]
+        ir1[1] += ir2[1]
+        return ir1
+
+    def finalize(self, ir):
+        return ir[0] / ir[1]
+
+    def delete(self, ir, v, ts=None):
+        ir[0] -= v
+        ir[1] -= 1
+        return ir
+
+
+class Min(ScalarOp):
+    def prepare(self, v, ts=None):
+        return v
+
+    def update(self, ir, v, ts=None):
+        return v if v < ir else ir
+
+    def merge(self, ir1, ir2):
+        return ir2 if ir2 < ir1 else ir1
+
+
+class Max(ScalarOp):
+    def prepare(self, v, ts=None):
+        return v
+
+    def update(self, ir, v, ts=None):
+        return v if v > ir else ir
+
+    def merge(self, ir1, ir2):
+        return ir2 if ir2 > ir1 else ir1
+
+
+class Variance(ScalarOp):
+    """Welford IR [count, mean, m2]; finalize = m2/count (population)."""
+
+    def prepare(self, v, ts=None):
+        return [1, float(v), 0.0]
+
+    def update(self, ir, v, ts=None):
+        ir[0] += 1
+        delta = v - ir[1]
+        ir[1] += delta / ir[0]
+        ir[2] += delta * (v - ir[1])
+        return ir
+
+    def merge(self, a, b):
+        n = a[0] + b[0]
+        delta = b[1] - a[1]
+        mean = (a[0] * a[1] + b[0] * b[1]) / n
+        m2 = a[2] + b[2] + delta * (delta / n) * a[0] * b[0]
+        return [n, mean, m2]
+
+    def finalize(self, ir):
+        return ir[2] / ir[0]
+
+
+class _Moments(ScalarOp):
+    """4-moment IR [n, m1, m2, m3, m4] (SimpleAggregators.scala:872-975)."""
+
+    def prepare(self, v, ts=None):
+        return self.update([0.0, 0.0, 0.0, 0.0, 0.0], v)
+
+    def update(self, ir, x, ts=None):
+        n1, m1, m2, m3, m4 = ir
+        n = n1 + 1
+        delta = x - m1
+        delta_n = delta / n
+        delta_n2 = delta_n * delta_n
+        term1 = delta * delta_n * n1
+        m1 += delta_n
+        m4 += term1 * delta_n2 * (n * n - 3 * n + 3) + 6 * delta_n2 * m2 - 4 * delta_n * m3
+        m3 += term1 * delta_n * (n - 2) - 3 * delta_n * m2
+        m2 += term1
+        return [n, m1, m2, m3, m4]
+
+    def merge(self, a, b):
+        an, am1, am2, am3, am4 = a
+        bn, bm1, bm2, bm3, bm4 = b
+        n = an + bn
+        delta = bm1 - am1
+        d2, d3, d4 = delta * delta, delta**3, delta**4
+        m1 = (an * am1 + bn * bm1) / n
+        m2 = am2 + bm2 + d2 * an * bn / n
+        m3 = am3 + bm3 + d3 * an * bn * (an - bn) / (n * n) + 3.0 * delta * (an * bm2 - bn * am2) / n
+        m4 = (
+            am4
+            + bm4
+            + d4 * an * bn * (an * an - an * bn + bn * bn) / (n**3)
+            + 6.0 * d2 * (an * an * bm2 + bn * bn * am2) / (n * n)
+            + 4.0 * delta * (an * bm3 - bn * am3) / n
+        )
+        return [n, m1, m2, m3, m4]
+
+
+class Skew(_Moments):
+    def finalize(self, ir):
+        n, _, m2, m3, _ = ir
+        if n < 3 or m2 == 0:
+            return float("nan")
+        return math.sqrt(n) * m3 / m2**1.5
+
+
+class Kurtosis(_Moments):
+    def finalize(self, ir):
+        n, _, m2, _, m4 = ir
+        if n < 4 or m2 == 0:
+            return float("nan")
+        return n * m4 / (m2 * m2) - 3
+
+
+class First(ScalarOp):
+    timed = True
+
+    def prepare(self, v, ts=None):
+        return (ts, v)
+
+    def update(self, ir, v, ts=None):
+        return (ts, v) if ts < ir[0] else ir
+
+    def merge(self, ir1, ir2):
+        return ir2 if ir2[0] < ir1[0] else ir1
+
+    def finalize(self, ir):
+        return ir[1]
+
+
+class Last(ScalarOp):
+    timed = True
+
+    def prepare(self, v, ts=None):
+        return (ts, v)
+
+    def update(self, ir, v, ts=None):
+        return (ts, v) if ts > ir[0] else ir
+
+    def merge(self, ir1, ir2):
+        return ir2 if ir2[0] > ir1[0] else ir1
+
+    def finalize(self, ir):
+        return ir[1]
+
+
+class LastK(ScalarOp):
+    """k most recent (ts, value); finalize -> values most-recent-first.
+
+    Ties broken by a sub-ts sequence number when provided via ts tuples.
+    """
+
+    timed = True
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def prepare(self, v, ts=None):
+        return [(ts, v)]
+
+    def update(self, ir, v, ts=None):
+        ir.append((ts, v))
+        ir.sort(key=lambda t: t[0], reverse=True)
+        del ir[self.k :]
+        return ir
+
+    def merge(self, ir1, ir2):
+        out = sorted(ir1 + ir2, key=lambda t: t[0], reverse=True)
+        return out[: self.k]
+
+    def finalize(self, ir):
+        return [v for _, v in ir]
+
+
+class FirstK(ScalarOp):
+    timed = True
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def prepare(self, v, ts=None):
+        return [(ts, v)]
+
+    def update(self, ir, v, ts=None):
+        ir.append((ts, v))
+        ir.sort(key=lambda t: t[0])
+        del ir[self.k :]
+        return ir
+
+    def merge(self, ir1, ir2):
+        return sorted(ir1 + ir2, key=lambda t: t[0])[: self.k]
+
+    def finalize(self, ir):
+        return [v for _, v in ir]
+
+
+class TopK(ScalarOp):
+    def __init__(self, k: int):
+        self.k = k
+
+    def prepare(self, v, ts=None):
+        return [v]
+
+    def update(self, ir, v, ts=None):
+        ir.append(v)
+        ir.sort(reverse=True)
+        del ir[self.k :]
+        return ir
+
+    def merge(self, ir1, ir2):
+        return sorted(ir1 + ir2, reverse=True)[: self.k]
+
+
+class BottomK(ScalarOp):
+    def __init__(self, k: int):
+        self.k = k
+
+    def prepare(self, v, ts=None):
+        return [v]
+
+    def update(self, ir, v, ts=None):
+        ir.append(v)
+        ir.sort()
+        del ir[self.k :]
+        return ir
+
+    def merge(self, ir1, ir2):
+        return sorted(ir1 + ir2)[: self.k]
+
+
+class UniqueCount(ScalarOp):
+    def prepare(self, v, ts=None):
+        return {v}
+
+    def update(self, ir, v, ts=None):
+        ir.add(v)
+        return ir
+
+    def merge(self, ir1, ir2):
+        ir1 |= ir2
+        return ir1
+
+    def finalize(self, ir):
+        return len(ir)
+
+
+_SENTINEL = "__SENTINEL__"
+
+
+class BoundedUniqueCount(ScalarOp):
+    """Exact distinct up to k, then saturates and reports k."""
+
+    def __init__(self, k: int = 8):
+        self.k = k
+
+    def prepare(self, v, ts=None):
+        return {v}
+
+    def update(self, ir, v, ts=None):
+        if ir is _SENTINEL or len(ir) >= self.k:
+            return _SENTINEL
+        ir.add(v)
+        return ir
+
+    def merge(self, ir1, ir2):
+        if ir1 is _SENTINEL or ir2 is _SENTINEL:
+            return _SENTINEL
+        ir1 |= ir2
+        return _SENTINEL if len(ir1) >= self.k else ir1
+
+    def finalize(self, ir):
+        return self.k if ir is _SENTINEL else len(ir)
+
+
+class Histogram(ScalarOp):
+    """Exact map[str -> count]; optional top-k truncation at finalize (k arg)."""
+
+    deletable = True
+
+    def __init__(self, k: int = 0):
+        self.k = k
+
+    def prepare(self, v, ts=None):
+        return {str(v): 1}
+
+    def update(self, ir, v, ts=None):
+        key = str(v)
+        ir[key] = ir.get(key, 0) + 1
+        return ir
+
+    def merge(self, ir1, ir2):
+        for k, c in ir2.items():
+            nc = ir1.get(k, 0) + c
+            if nc == 0:
+                ir1.pop(k, None)
+            else:
+                ir1[k] = nc
+        return ir1
+
+    def delete(self, ir, v, ts=None):
+        key = str(v)
+        nc = ir.get(key, 0) - 1
+        if nc == 0:
+            ir.pop(key, None)
+        else:
+            ir[key] = nc
+        return ir
+
+    def finalize(self, ir):
+        if self.k and len(ir) > self.k:
+            top = sorted(ir.items(), key=lambda kv: (-kv[1], kv[0]))[: self.k]
+            return dict(top)
+        return dict(ir)
+
+
+class ApproxUniqueCount(ScalarOp):
+    """HLL-style distinct-count sketch (stands in for the reference's CPC,
+    SimpleAggregators.scala:716-760; same IR contract: binary-mergeable)."""
+
+    def __init__(self, lgk: int = 8):
+        from .sketches import HllSketch
+
+        self.lgk = lgk
+        self._cls = HllSketch
+
+    def prepare(self, v, ts=None):
+        sk = self._cls(self.lgk)
+        sk.add(v)
+        return sk
+
+    def update(self, ir, v, ts=None):
+        ir.add(v)
+        return ir
+
+    def merge(self, ir1, ir2):
+        ir1.merge_in(ir2)
+        return ir1
+
+    def finalize(self, ir):
+        return int(round(ir.estimate()))
+
+
+class ApproxPercentile(ScalarOp):
+    """Mergeable quantile sketch (stands in for KLL,
+    SimpleAggregators.scala:762-802); percentiles arg defaults to [0.5]."""
+
+    def __init__(self, k: int = 128, percentiles=(0.5,)):
+        from .sketches import QuantileSketch
+
+        self.k = k
+        self.percentiles = list(percentiles)
+        self._cls = QuantileSketch
+
+    def prepare(self, v, ts=None):
+        sk = self._cls(self.k)
+        sk.add(float(v))
+        return sk
+
+    def update(self, ir, v, ts=None):
+        ir.add(float(v))
+        return ir
+
+    def merge(self, ir1, ir2):
+        ir1.merge_in(ir2)
+        return ir1
+
+    def finalize(self, ir):
+        return [ir.quantile(p) for p in self.percentiles]
+
+
+def make_scalar_op(part: AggregationPart) -> ScalarOp:
+    op = part.operation
+    k = part.arg("k")
+    if op is Operation.SUM:
+        return Sum()
+    if op is Operation.COUNT:
+        return Count()
+    if op is Operation.AVERAGE:
+        return Average()
+    if op is Operation.MIN:
+        return Min()
+    if op is Operation.MAX:
+        return Max()
+    if op is Operation.VARIANCE:
+        return Variance()
+    if op is Operation.SKEW:
+        return Skew()
+    if op is Operation.KURTOSIS:
+        return Kurtosis()
+    if op is Operation.FIRST:
+        return First()
+    if op is Operation.LAST:
+        return Last()
+    if op is Operation.FIRST_K:
+        return FirstK(int(k))
+    if op is Operation.LAST_K:
+        return LastK(int(k))
+    if op is Operation.TOP_K:
+        return TopK(int(k))
+    if op is Operation.BOTTOM_K:
+        return BottomK(int(k))
+    if op is Operation.UNIQUE_COUNT:
+        return UniqueCount()
+    if op is Operation.BOUNDED_UNIQUE_COUNT:
+        return BoundedUniqueCount(int(k) if k else 8)
+    if op is Operation.HISTOGRAM:
+        return Histogram(int(k) if k else 0)
+    if op is Operation.APPROX_UNIQUE_COUNT:
+        lgk = part.arg("lgk")
+        return ApproxUniqueCount(int(lgk) if lgk else 8)
+    if op is Operation.APPROX_PERCENTILE:
+        pct = part.arg("percentiles")
+        if isinstance(pct, str):
+            pct = json.loads(pct)
+        return ApproxPercentile(int(k) if k else 128, pct or (0.5,))
+    raise ValueError(f"unsupported operation: {op}")

@@ -1,0 +1,203 @@
+"""Mergeable sketches in pure numpy (the container has no `datasketches`).
+
+These stand in for the reference's Apache DataSketches IRs:
+  * HllSketch  ~ CPC distinct-count sketch (reference SimpleAggregators.scala:716-760,
+    default lgK=8 ≈ 1.2 KB/key) — classic HyperLogLog with dense uint8 registers.
+  * QuantileSketch ~ KLL floats sketch (SimpleAggregators.scala:762-802, k=128)
+    — multi-level compactor sketch with deterministic alternating compaction.
+
+Both serialize to bytes (``to_bytes``/``from_bytes``) so IRs can ride in Arrow
+``binary`` columns across shuffle boundaries, mirroring the reference's
+normalize/denormalize contract (BaseAggregator.scala:36-40).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays (public-domain
+    algorithm, Steele et al.). Deterministic across processes."""
+    with np.errstate(over="ignore"):
+        z = (x + _GOLDEN).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _MIX1
+        z = (z ^ (z >> np.uint64(27))) * _MIX2
+        return z ^ (z >> np.uint64(31))
+
+
+def hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes of a column of ints/floats/strings/bytes.
+
+    Uses pandas' stable vectorized hashing (fixed key) for object dtypes and
+    splitmix64 for native ints — stable across processes and runs.
+    """
+    import pandas as pd
+
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return splitmix64(arr.astype(np.uint64))
+    if arr.dtype.kind == "f":
+        return splitmix64(arr.view(np.uint64))
+    return pd.util.hash_array(arr.astype(object), categorize=False).astype(np.uint64)
+
+
+class HllSketch:
+    """Dense HyperLogLog with 2**lgk uint8 registers; merge = elementwise max."""
+
+    __slots__ = ("lgk", "registers")
+
+    def __init__(self, lgk: int = 8, registers: np.ndarray | None = None):
+        self.lgk = lgk
+        self.registers = (
+            registers if registers is not None else np.zeros(1 << lgk, dtype=np.uint8)
+        )
+
+    def add(self, value) -> None:
+        self.add_hashed(hash64([value]))
+
+    def add_hashed(self, hashes: np.ndarray) -> None:
+        """Vectorized bulk insert of pre-hashed uint64 values."""
+        m = np.uint64(self.lgk)
+        idx = (hashes >> (np.uint64(64) - m)).astype(np.int64)
+        rest = hashes << m  # remaining 64-lgk bits, top-aligned
+        # rank = number of leading zeros in `rest` + 1, capped
+        lz = np.full(len(hashes), 64 - self.lgk + 1, dtype=np.uint8)
+        nz = rest != 0
+        if nz.any():
+            # leading zero count via float64 exponent is unsafe at 64 bits;
+            # use bit-length: lz = 64 - bit_length(rest)
+            r = rest[nz]
+            bl = np.zeros(len(r), dtype=np.uint8)
+            for shift in (32, 16, 8, 4, 2, 1):
+                s = np.uint64(shift)
+                mask = r >> s != 0
+                bl[mask] += shift
+                r = np.where(mask, r >> s, r)
+            bl += 1  # bit_length
+            lz[nz] = (64 - bl) + 1
+        np.maximum.at(self.registers, idx, lz)
+
+    def merge_in(self, other: "HllSketch") -> None:
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def estimate(self) -> float:
+        m = float(len(self.registers))
+        regs = self.registers.astype(np.float64)
+        est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(2.0**-regs)
+        zeros = np.count_nonzero(self.registers == 0)
+        if est <= 2.5 * m and zeros > 0:  # small-range correction
+            est = m * np.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<B", self.lgk) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "HllSketch":
+        lgk = struct.unpack_from("<B", blob)[0]
+        regs = np.frombuffer(blob, dtype=np.uint8, offset=1).copy()
+        return cls(lgk, regs)
+
+
+class QuantileSketch:
+    """Multi-level compactor quantile sketch (KLL-family, simplified).
+
+    Level i holds items with weight 2**i.  When a level buffer exceeds
+    capacity k it is sorted and alternate elements (deterministic offset
+    flipping per level for unbiasedness across compactions) are promoted to
+    the next level.  Error is O(1/k) in rank; k=128 gives ~1% rank error.
+    """
+
+    __slots__ = ("k", "levels", "n", "_flip")
+
+    def __init__(self, k: int = 128):
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self.n = 0
+        self._flip = 0
+
+    def add(self, value: float) -> None:
+        self.levels[0].append(value)
+        self.n += 1
+        if len(self.levels[0]) >= 2 * self.k:
+            self._compact(0)
+
+    def add_many(self, values: np.ndarray) -> None:
+        self.levels[0].extend(float(v) for v in values)
+        self.n += len(values)
+        while len(self.levels[0]) >= 2 * self.k:
+            self._compact(0)
+
+    def _compact(self, level: int) -> None:
+        buf = sorted(self.levels[level])
+        self._flip ^= 1
+        promoted = buf[self._flip :: 2]
+        self.levels[level] = []
+        if level + 1 >= len(self.levels):
+            self.levels.append([])
+        nxt = self.levels[level + 1]
+        nxt.extend(promoted)
+        if len(nxt) >= 2 * self.k:
+            self._compact(level + 1)
+
+    def merge_in(self, other: "QuantileSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for i, buf in enumerate(other.levels):
+            self.levels[i].extend(buf)
+        self.n += other.n
+        for i in range(len(self.levels)):
+            while len(self.levels[i]) >= 2 * self.k:
+                self._compact(i)
+
+    def _weighted(self):
+        vals, wts = [], []
+        for i, buf in enumerate(self.levels):
+            vals.extend(buf)
+            wts.extend([1 << i] * len(buf))
+        return np.asarray(vals, dtype=np.float64), np.asarray(wts, dtype=np.int64)
+
+    def quantile(self, q: float) -> float:
+        vals, wts = self._weighted()
+        if len(vals) == 0:
+            return float("nan")
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(vals[min(idx, len(vals) - 1)])
+
+    def to_bytes(self) -> bytes:
+        head = struct.pack("<iqi", self.k, self.n, len(self.levels))
+        parts = [head, struct.pack("<i", self._flip)]
+        for buf in self.levels:
+            parts.append(struct.pack("<i", len(buf)))
+            parts.append(np.asarray(buf, dtype=np.float64).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "QuantileSketch":
+        k, n, nlev = struct.unpack_from("<iqi", blob)
+        off = struct.calcsize("<iqi")
+        (flip,) = struct.unpack_from("<i", blob, off)
+        off += 4
+        sk = cls(k)
+        sk.n = n
+        sk._flip = flip
+        sk.levels = []
+        for _ in range(nlev):
+            (ln,) = struct.unpack_from("<i", blob, off)
+            off += 4
+            sk.levels.append(list(np.frombuffer(blob, np.float64, count=ln, offset=off)))
+            off += 8 * ln
+        if not sk.levels:
+            sk.levels = [[]]
+        return sk
