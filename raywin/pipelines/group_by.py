@@ -1,0 +1,241 @@
+"""GroupBy backfill pipelines — Ray-Data-native temporal & snapshot modes.
+
+Dataflow for TEMPORAL accuracy (the reference's temporalEvents,
+spark/.../GroupBy.scala:279-358, re-expressed Ray-Data-first):
+
+    right = scan sources (projection pushdown, Query layer)      [stateless]
+    left  = query rows (keys..., ts)                             [stateless]
+    both  -> pad to unified schema, tag __side, union            [stateless]
+          -> AddBucket hash(keys) % P                            [stateless]
+          -> groupby(__bucket).map_groups(PartitionKernel)       [the shuffle]
+          -> Arrow feature rows, one per left (keys, ts)
+
+One all-to-all exchange total: both sides co-partition in a single
+``groupby`` shuffle and the vectorized kernel (aggregator/kernel.py) does the
+per-partition sort + sawtooth window evaluation.  This replaces the
+reference's three-way leftOuterJoin topology (GroupBy.scala:340-355) with an
+equivalent single-shuffle union join.
+
+SNAPSHOT accuracy (reference snapshotEvents, GroupBy.scala:144-169): queries
+are synthesized at day-end boundaries per (key, ds) and the same kernel runs
+with DailyResolution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..api import MILLIS_DAY, Accuracy, AggregationPart, GroupBy, Operation
+from ..aggregator.kernel import PartitionAggregator
+from ..aggregator.windowing import DailyResolution, FiveMinuteResolution
+from ..sources.io import scan_source, union_sources
+from ..stages.query import apply_derivations
+from ..stages.shuffle import BUCKET_COL, SIDE_COL, AddBucket, pad_to_schema, unify_schemas
+
+_FLOAT_OUT = {
+    Operation.AVERAGE,
+    Operation.VARIANCE,
+    Operation.SKEW,
+    Operation.KURTOSIS,
+}
+_INT_OUT = {
+    Operation.COUNT,
+    Operation.UNIQUE_COUNT,
+    Operation.APPROX_UNIQUE_COUNT,
+    Operation.BOUNDED_UNIQUE_COUNT,
+}
+
+
+def output_type(part: AggregationPart, input_type: pa.DataType) -> pa.DataType:
+    op = part.operation
+    if op in _INT_OUT:
+        base = pa.int64()
+    elif op in _FLOAT_OUT:
+        base = pa.float64()
+    elif op is Operation.SUM:
+        base = pa.int64() if pa.types.is_integer(input_type) else pa.float64()
+    elif op is Operation.HISTOGRAM:
+        base = pa.map_(pa.string(), pa.int64())
+    elif op is Operation.APPROX_PERCENTILE:
+        base = pa.list_(pa.float64())
+    elif op in (Operation.TOP_K, Operation.BOTTOM_K):
+        base = pa.list_(pa.float64() if not pa.types.is_integer(input_type) else pa.int64())
+        # TopK segtree engine computes in float64; keep float for floats
+        base = pa.list_(pa.float64())
+    elif op in (Operation.FIRST_K, Operation.LAST_K):
+        elem = input_type.value_type if part.element_wise else input_type
+        base = pa.list_(elem)
+    else:  # MIN MAX FIRST LAST
+        base = input_type.value_type if part.element_wise else input_type
+    if part.element_wise and op not in (Operation.FIRST_K, Operation.LAST_K):
+        base = pa.list_(base)
+    if part.bucket is not None:
+        base = pa.map_(pa.string(), base)
+    return base
+
+
+def _to_arrow_column(values, typ: pa.DataType) -> pa.Array:
+    arr = np.asarray(values, dtype=object)
+    if pa.types.is_floating(typ):
+        clean = [None if v is None or (isinstance(v, float) and np.isnan(v)) else float(v) for v in arr]
+        return pa.array(clean, type=typ)
+    if pa.types.is_integer(typ):
+        clean = [None if v is None or (isinstance(v, float) and np.isnan(v)) else int(v) for v in arr]
+        return pa.array(clean, type=typ)
+    if pa.types.is_map(typ):
+        clean = [None if v is None else sorted(v.items()) for v in arr]
+        return pa.array(clean, type=typ)
+    return pa.array(list(arr), type=typ)
+
+
+class PartitionKernel:
+    """map_groups callable: split a co-partitioned bucket into (events,
+    queries), run the vectorized PartitionAggregator, emit Arrow."""
+
+    def __init__(
+        self,
+        key_cols: list[str],
+        parts: list[AggregationPart],
+        left_schema: pa.Schema,
+        input_types: dict[str, pa.DataType],
+        resolution=FiveMinuteResolution,
+        head_rounding: int = 1,
+        tie_breaker: str | None = None,
+    ):
+        self.__name__ = "PartitionKernel"  # ray map_groups wraps plain fns
+        self.key_cols = key_cols
+        self.parts = parts
+        self.left_schema = left_schema
+        self.resolution = resolution
+        self.head_rounding = head_rounding
+        self.tie_breaker = tie_breaker
+        self.out_fields = [
+            pa.field(p.output_column, output_type(p, input_types[p.input_column]))
+            for p in parts
+        ]
+        self.agg = PartitionAggregator(key_cols, parts, resolution, head_rounding, tie_breaker)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = group[SIDE_COL].to_numpy(zero_copy_only=False)
+        left_names = [n for n in self.left_schema.names]
+        is_left = side == 0
+        lt = group.filter(pa.array(is_left)).select(left_names)
+        rt_names = [
+            n for n in group.column_names if n not in (BUCKET_COL, SIDE_COL) and n not in left_names
+        ] + self.key_cols + ["ts"]
+        rt = group.filter(pa.array(~is_left)).select(list(dict.fromkeys(rt_names)))
+        queries = lt.to_pandas()
+        events = rt.to_pandas()
+        if len(queries) == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, f.type) for f in self.left_schema] + [pa.nulls(0, f.type) for f in self.out_fields],
+                schema=pa.schema(list(self.left_schema) + self.out_fields),
+            )
+        out = self.agg.aggregate(events, queries)
+        cols = []
+        for f in self.left_schema:
+            cols.append(pa.array(out[f.name].tolist(), type=f.type))
+        for f, part in zip(self.out_fields, self.parts):
+            cols.append(_to_arrow_column(out[part.output_column].to_numpy(), f.type))
+        return pa.Table.from_arrays(cols, schema=pa.schema(list(self.left_schema) + self.out_fields))
+
+
+def events_dataset(group_by: GroupBy):
+    """Scan + union all sources of a GroupBy (reference GroupBy.from,
+    GroupBy.scala:459-565)."""
+    return union_sources([scan_source(s) for s in group_by.sources])
+
+
+def features_for_queries(
+    group_by: GroupBy,
+    left_ds,
+    num_buckets: int = 64,
+    resolution=None,
+    head_rounding: int = 1,
+):
+    """Point-in-time features for every left (keys..., ts) row.
+
+    left_ds columns: group_by.key_columns + ts (+ any passthrough columns —
+    they ride through the kernel untouched).  Returns one output row per left
+    row with one column per aggregation part.
+    """
+    if resolution is None:
+        resolution = (
+            FiveMinuteResolution if group_by.accuracy is Accuracy.TEMPORAL else DailyResolution
+        )
+    right_ds = events_dataset(group_by)
+    parts = group_by.agg_parts()
+
+    right_schema = right_ds.schema()
+    r_arrow = pa.schema(
+        [pa.field(n, t) for n, t in zip(right_schema.names, right_schema.types)]
+    )
+    left_schema_rd = left_ds.schema()
+    l_arrow = pa.schema(
+        [pa.field(n, t) for n, t in zip(left_schema_rd.names, left_schema_rd.types)]
+    )
+    input_types = {
+        p.input_column: r_arrow.field(p.input_column).type for p in parts
+    }
+
+    unified = unify_schemas(l_arrow, r_arrow, {SIDE_COL: pa.int8()})
+
+    def tag(side_val):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.append_column(
+                SIDE_COL, pa.array(np.full(len(batch), side_val, dtype=np.int8))
+            )
+            return pad_to_schema(batch, unified)
+
+        return fn
+
+    left_tagged = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    right_tagged = right_ds.map_batches(tag(1), batch_format="pyarrow")
+    unioned = left_tagged.union(right_tagged)
+    bucketed = unioned.map_batches(
+        AddBucket(group_by.key_columns, num_buckets), batch_format="pyarrow"
+    )
+    kernel = PartitionKernel(
+        group_by.key_columns,
+        parts,
+        l_arrow,
+        input_types,
+        resolution,
+        head_rounding,
+        group_by.tie_breaker,
+    )
+    out = bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format="pyarrow")
+    out_cols = list(l_arrow.names) + [p.output_column for p in parts]
+    out = out.select_columns(out_cols)
+    if group_by.derivations:
+        out = apply_derivations(out, group_by.derivations, out_cols)
+    return out
+
+
+def snapshot_backfill(group_by: GroupBy, ds_dates: list[str], num_buckets: int = 64):
+    """Daily-partitioned snapshot backfill: features as of each date's end
+    (reference snapshotEvents, GroupBy.scala:144-169; window membership
+    ts < ds_epoch + 1d, GroupByTest.scala:124-137).
+
+    Returns one row per (key, ds) for every distinct key in the sources.
+    """
+    right_ds = events_dataset(group_by)
+    keys = right_ds.groupby(group_by.key_columns).count().drop_columns(["count()"])
+
+    ds_ends = {d: (pd.Timestamp(d).value // 1_000_000) + MILLIS_DAY for d in ds_dates}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        tables = []
+        for d, end in ds_ends.items():
+            t = batch.append_column("ts", pa.array(np.full(n, end, dtype=np.int64)))
+            t = t.append_column("ds", pa.array([d] * n, type=pa.string()))
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    left = keys.map_batches(explode, batch_format="pyarrow")
+    return features_for_queries(
+        group_by, left, num_buckets, resolution=DailyResolution, head_rounding=1
+    )

@@ -1,0 +1,70 @@
+"""Source scanning with projection pushdown + query application.
+
+Mirrors the reference's renderDataSourceQuery (spark/.../GroupBy.scala:610-689):
+per-source select/where/time mapping applied at scan time, multiple sources
+unioned aligned by column name (GroupBy.scala:486-490).
+
+Tables are parquet paths here (the production target is a Lance/parquet lake;
+this container has no `lance`, so `read_table` routes everything through
+``ray.data.read_parquet`` — swap in ``read_lance`` on a real deployment).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import ray.data
+
+from ..api import EventSource, EntitySource, Query
+from ..stages.query import apply_query, referenced_columns
+
+
+def table_schema(path: str):
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                return pq.ParquetFile(os.path.join(path, f)).schema_arrow
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return pq.ParquetFile(path).schema_arrow
+
+
+def read_table(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Columnar scan with projection pushdown — only needed columns leave
+    storage (pass filters via Query.wheres; row-group pruning is handled by
+    the parquet reader)."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def scan_source(source, extra_columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Scan one source with its Query applied; output contains the Query's
+    select aliases + ``ts`` (epoch millis) when time_column is set."""
+    if isinstance(source, EntitySource):
+        path, query = source.snapshot_table, source.query
+    else:
+        path, query = source.table, source.query
+    schema = table_schema(path)
+    if query.selects is None and query.time_column is None and not query.wheres:
+        cols = extra_columns if extra_columns else None
+        return read_table(path, cols)
+    exprs = list((query.selects or {}).values()) + list(query.wheres or [])
+    if query.time_column:
+        exprs.append(query.time_column)
+    cols = referenced_columns(exprs, schema.names)
+    if query.selects is None:
+        cols = schema.names  # SELECT * still needs everything
+    ds = read_table(path, cols or None)
+    return apply_query(ds, query)
+
+
+def union_sources(datasets: list["ray.data.Dataset"]) -> "ray.data.Dataset":
+    """Union multiple scanned sources aligned by column name."""
+    if len(datasets) == 1:
+        return datasets[0]
+    base = datasets[0]
+    names = base.schema().names
+    aligned = [base] + [d.select_columns(names) for d in datasets[1:]]
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.union(d)
+    return out
