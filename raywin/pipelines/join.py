@@ -1,0 +1,96 @@
+"""Join backfill: left rows enriched with every JoinPart's point-in-time
+features (reference JoinBase.scala:76-375 / Join.scala:292-432).
+
+Ray-Data-first topology:
+
+    left = scan join.left (Query layer), skew-key filter       [stateless]
+    per JoinPart (independent Dataset DAGs, can run concurrently):
+        queries  = DISTINCT (mapped keys, ts) of left          [shuffle: dedup]
+        features = features_for_queries(group_by, queries)     [shuffle: bucket]
+        prefixed = rename value cols {prefix}_{group_by}_{col} [stateless]
+    assembly = iterative hash joins back on (keys..., ts)      [shuffle: join]
+
+The per-part dedup mirrors the reference's ``uniqSort`` on query keys
+(GroupBy.scala:311); assembly joins on (keys, ts) like joinWithLeft
+(JoinBase.scala:76-136) so duplicate left rows each receive the same feature
+row.  Derivations run as a final DuckDB-per-batch projection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..api import GroupBy, Join, JoinPart
+from ..sources.io import scan_source
+from ..stages.query import apply_derivations
+from .group_by import features_for_queries
+
+
+def _skew_filter(ds, skew_keys: dict[str, list[str]] | None):
+    """Exclude user-declared hot keys from both sides
+    (reference api.thrift:339-343, Extensions.scala:978-1022)."""
+    if not skew_keys:
+        return ds
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = np.ones(len(batch), dtype=bool)
+        for col, bad in skew_keys.items():
+            if col in batch.column_names:
+                vals = batch[col].to_numpy(zero_copy_only=False)
+                mask &= ~np.isin(vals, np.asarray(bad, dtype=object))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def part_features(
+    part: JoinPart,
+    left_ds,
+    num_buckets: int = 64,
+):
+    """Feature table for one JoinPart keyed by the LEFT's column names + ts."""
+    gb = part.group_by
+    key_mapping = part.key_mapping or {}
+    left_keys = [next((l for l, r in key_mapping.items() if r == k), k) for k in gb.key_columns]
+
+    queries = left_ds.select_columns(list(dict.fromkeys(left_keys + ["ts"])))
+    # DISTINCT (keys, ts): hash-partitioned dedup (uniqSort analogue)
+    queries = queries.groupby(left_keys + ["ts"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+    if key_mapping:
+        queries = queries.rename_columns(
+            {l: r for l, r in key_mapping.items() if l in left_keys}
+        )
+    feats = features_for_queries(gb, queries, num_buckets=num_buckets)
+    rename = {}
+    for col in gb.output_columns():
+        rename[col] = f"{part.full_prefix}{col}"
+    if key_mapping:
+        for l, r in key_mapping.items():
+            rename[r] = l
+    return feats.rename_columns(rename), left_keys
+
+
+def backfill_join(join: Join, num_buckets: int = 64):
+    """Full join backfill -> Dataset with left columns + all part features."""
+    left = scan_source(join.left)
+    left = _skew_filter(left, join.skew_keys)
+    out = left
+    left_cols = None
+    for part in join.join_parts:
+        feats, left_keys = part_features(part, left, num_buckets)
+        join_keys = tuple(dict.fromkeys(left_keys + ["ts"]))
+        out = out.join(
+            feats,
+            join_type="left_outer",
+            num_partitions=num_buckets,
+            on=join_keys,
+        )
+    if join.derivations:
+        if left_cols is None:
+            sch = out.schema()
+            left_cols = sch.names
+        out = apply_derivations(out, join.derivations, left_cols)
+    return out
