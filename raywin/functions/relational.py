@@ -1,0 +1,84 @@
+"""Relational helpers on Ray Datasets: scalable grouped aggregation with
+map-side partial aggregation, equi-joins, top-k.
+
+The partial+merge pattern mirrors the reference's
+``aggregateByKey(seqOp, combOp)`` everywhere (spark/.../GroupBy.scala:129-134):
+aggregate inside each batch first (DuckDB over Arrow, zero-copy), shuffle only
+the tiny per-batch partials, merge with ``groupby().aggregate``, then apply a
+finalize projection.  This keeps the all-to-all exchange proportional to
+(#groups x #batches), not #rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ray.data.aggregate import Max, Min, Sum
+
+from ..stages.query import SqlBatch
+
+_MERGE_FNS = {"sum": Sum, "min": Min, "max": Max}
+
+
+def sql_group_agg(
+    ds,
+    keys: list[str],
+    partials: dict[str, str],
+    merge: dict[str, str],
+    finals: dict[str, str] | None = None,
+    where: str | None = None,
+):
+    """Grouped aggregation with map-side combine.
+
+    partials: {col: sql_expr} aggregate exprs evaluated per batch (GROUP BY keys)
+    merge:    {col: 'sum'|'min'|'max'} how partials combine across batches
+    finals:   {out_col: sql_expr over keys+merged cols}; None = passthrough
+    """
+    where_sql = f" WHERE {where}" if where else ""
+    partial_sql = (
+        f"SELECT {', '.join(keys)}, "
+        + ", ".join(f"({e}) AS {c}" for c, e in partials.items())
+        + f" FROM batch{where_sql} GROUP BY {', '.join(keys)}"
+    )
+    partial = ds.map_batches(SqlBatch(partial_sql), batch_format="pyarrow")
+    aggs = [_MERGE_FNS[m](c, alias_name=c) for c, m in merge.items()]
+    merged = partial.groupby(keys).aggregate(*aggs)
+    if finals is None:
+        return merged
+    final_sql = (
+        f"SELECT {', '.join(keys)}, "
+        + ", ".join(f"({e}) AS {c}" for c, e in finals.items())
+        + " FROM batch"
+    )
+    return merged.map_batches(SqlBatch(final_sql), batch_format="pyarrow")
+
+
+def broadcast_lookup_join(ds, small_df, on: list[str], how: str = "inner"):
+    """Join a Dataset against a SMALL pandas table without a shuffle: the
+    small side is put in the object store once (ray.put) and merged per batch
+    (the reference's small-mode key-injection analogue, JoinUtils.scala:296-359)."""
+    import ray
+
+    ref = ray.put(small_df)
+
+    class Merge:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch):
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
+
+
+def top_k(ds, sort_col: str, k: int, descending: bool = True):
+    """Global top-k: per-batch prune to k, then a tiny sort+limit."""
+    def prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = "descending" if descending else "ascending"
+        idx = pc.select_k_unstable(batch, k, [(sort_col, order)])
+        return batch.take(idx)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.sort(sort_col, descending=descending).limit(k)

@@ -1,0 +1,746 @@
+"""Named query catalog: every operator/pipeline exposed as a callable
+``fn(sf_dir) -> Dataset | DataFrame``, with a matching DuckDB oracle SQL
+where the semantics are SQL-expressible (driver correctness gate).
+
+Column names are chosen to match the oracle SQL exactly (the driver's
+value-hash compare sorts columns by name)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..api import (
+    Accuracy,
+    Aggregation,
+    Derivation,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    Query,
+    TimeUnit,
+    Window,
+)
+
+N_BUCKETS = 16
+HOUR = 3600 * 1000
+DAY = 24 * HOUR
+
+
+def _events_source(sf_dir: str, selects: dict[str, str]) -> EventSource:
+    return EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(selects=selects, time_column="epoch_ms(ts)"),
+    )
+
+
+def _events_ds(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _distinct_user_ts(sf_dir: str):
+    return (
+        _events_ds(sf_dir, ["user_id", "ts"])
+        .map_batches(
+            lambda df: df.assign(ts=df["ts"].astype("int64") // 1000).drop_duplicates(),
+            batch_format="pandas",
+        )
+        .groupby(["user_id", "ts"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------- as-of core
+
+
+def asof_core(sf_dir: str):
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.SUM, "value", windows=[Window(1, TimeUnit.DAYS), Window(-1)]),
+            Aggregation(Operation.COUNT, "value", windows=[Window(1, TimeUnit.DAYS)]),
+            Aggregation(Operation.AVERAGE, "value"),
+            Aggregation(Operation.MAX, "value", windows=[Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.MIN, "value", windows=[Window(30, TimeUnit.DAYS)]),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="core",
+    )
+    from .group_by import features_for_queries
+
+    return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+
+
+ASOF_CORE_SQL = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM e),
+p AS (SELECT q.user_id, q.ts, e.value, e.ts AS ets
+      FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ts < q.ts)
+SELECT user_id, ts,
+  sum(value) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}) AS value_sum_1d,
+  sum(value) AS value_sum,
+  nullif(count(value) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}), 0) AS value_count_1d,
+  avg(value) AS value_average,
+  max(value) FILTER (WHERE ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}) AS value_max_7d,
+  min(value) FILTER (WHERE ets >= (ts - {30 * DAY})//{DAY}*{DAY}) AS value_min_30d
+FROM p GROUP BY user_id, ts
+"""
+
+
+def asof_timed(sf_dir: str):
+    gb = GroupBy(
+        sources=[
+            _events_source(sf_dir, {"user_id": "user_id", "value": "value", "event_id": "event_id"})
+        ],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.LAST, "value"),
+            Aggregation(Operation.FIRST, "value", windows=[Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.LAST_K, "value", windows=[Window(7, TimeUnit.DAYS)], arg_map={"k": 3}),
+            Aggregation(Operation.FIRST_K, "value", windows=[Window(7, TimeUnit.DAYS)], arg_map={"k": 2}),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="timed",
+        tie_breaker="event_id",
+    )
+    from .group_by import features_for_queries
+
+    out = features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+    return out.drop_columns(["event_id"]) if "event_id" in out.schema().names else out
+
+
+ASOF_TIMED_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts, value FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM e),
+p AS (SELECT q.user_id, q.ts, e.value, e.ts AS ets, e.event_id AS eid
+      FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ts < q.ts AND e.value IS NOT NULL)
+SELECT user_id, ts,
+  (list(value ORDER BY ets DESC, eid DESC))[1] AS value_last,
+  (list(value ORDER BY ets ASC, eid ASC) FILTER (WHERE ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}))[1] AS value_first_7d,
+  (list(value ORDER BY ets DESC, eid DESC) FILTER (WHERE ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}))[1:3] AS value_last3_7d,
+  (list(value ORDER BY ets ASC, eid ASC) FILTER (WHERE ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}))[1:2] AS value_first2_7d
+FROM p GROUP BY user_id, ts
+"""
+
+
+def asof_moments(sf_dir: str):
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.VARIANCE, "value"),
+            Aggregation(Operation.SKEW, "value"),
+            Aggregation(Operation.KURTOSIS, "value"),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="moments",
+    )
+    from .group_by import features_for_queries
+
+    return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+
+
+ASOF_MOMENTS_SQL = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM e),
+p AS (SELECT q.user_id, q.ts, e.value
+      FROM q JOIN e ON e.user_id = q.user_id AND e.ts < q.ts AND e.value IS NOT NULL),
+s1 AS (SELECT user_id, ts, count(*) AS n, avg(value) AS m FROM p GROUP BY user_id, ts),
+s2 AS (SELECT p.user_id, p.ts,
+         sum(pow(p.value - s1.m, 2)) AS m2,
+         sum(pow(p.value - s1.m, 3)) AS m3,
+         sum(pow(p.value - s1.m, 4)) AS m4
+       FROM p JOIN s1 USING (user_id, ts) GROUP BY p.user_id, p.ts)
+SELECT q.user_id, q.ts,
+  CASE WHEN n >= 1 THEN m2 / n END AS value_variance,
+  CASE WHEN n >= 3 AND m2 > 0 THEN sqrt(n) * m3 / pow(m2, 1.5) END AS value_skew,
+  CASE WHEN n >= 4 AND m2 > 0 THEN n * m4 / (m2 * m2) - 3 END AS value_kurtosis
+FROM q LEFT JOIN s1 USING (user_id, ts) LEFT JOIN s2 USING (user_id, ts)
+"""
+
+
+def asof_distinct_topk(sf_dir: str):
+    gb = GroupBy(
+        sources=[
+            _events_source(
+                sf_dir, {"user_id": "user_id", "value": "value", "event_type": "event_type"}
+            )
+        ],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.UNIQUE_COUNT, "event_type", windows=[Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.BOUNDED_UNIQUE_COUNT, "event_type", arg_map={"k": 3}),
+            Aggregation(Operation.TOP_K, "value", windows=[Window(7, TimeUnit.DAYS)], arg_map={"k": 3}),
+            Aggregation(Operation.BOTTOM_K, "value", windows=[Window(7, TimeUnit.DAYS)], arg_map={"k": 2}),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="distincts",
+    )
+    from .group_by import features_for_queries
+
+    return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+
+
+ASOF_DISTINCT_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts, value FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM e),
+p AS (SELECT q.user_id, q.ts, e.value, e.event_type, e.ts AS ets
+      FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ts < q.ts)
+SELECT user_id, ts,
+  nullif(count(DISTINCT event_type) FILTER (WHERE ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}), 0)
+    AS event_type_unique_count_7d,
+  CASE WHEN count(DISTINCT event_type) = 0 THEN NULL
+       ELSE least(count(DISTINCT event_type), 3) END AS event_type_bounded_unique_count,
+  (list(value ORDER BY value DESC) FILTER (WHERE value IS NOT NULL
+      AND ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}))[1:3] AS value_top3_7d,
+  (list(value ORDER BY value ASC) FILTER (WHERE value IS NOT NULL
+      AND ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}))[1:2] AS value_bottom2_7d
+FROM p GROUP BY user_id, ts
+"""
+
+
+def asof_histogram_exploded(sf_dir: str):
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "event_type": "event_type"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.HISTOGRAM, "event_type", windows=[Window(7, TimeUnit.DAYS)])
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="hist",
+    )
+    from .group_by import features_for_queries
+
+    feats = features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        users, tss, types, cnts = [], [], [], []
+        col = batch["event_type_histogram_7d"].to_pylist()
+        u = batch["user_id"].to_pylist()
+        t = batch["ts"].to_pylist()
+        for i, m in enumerate(col):
+            if m is None:
+                continue
+            items = m.items() if isinstance(m, dict) else m
+            for k, v in items:
+                users.append(u[i])
+                tss.append(t[i])
+                types.append(k)
+                cnts.append(v)
+        return pa.table(
+            {
+                "user_id": pa.array(users, type=pa.int64()),
+                "ts": pa.array(tss, type=pa.int64()),
+                "event_type": pa.array(types, type=pa.string()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+ASOF_HISTOGRAM_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM e)
+SELECT q.user_id, q.ts, e.event_type, count(*) AS cnt
+FROM q JOIN e ON e.user_id = q.user_id AND e.ts < q.ts
+  AND e.ts >= (q.ts - {7 * DAY})//{HOUR}*{HOUR} AND e.event_type IS NOT NULL
+GROUP BY q.user_id, q.ts, e.event_type
+"""
+
+
+# ------------------------------------------------------------ lag / session
+
+
+def lag_lead_events(sf_dir: str):
+    from ..stages.sequence import lag_lead
+
+    ds = _events_ds(sf_dir, ["event_id", "user_id", "ts", "value"]).map_batches(
+        lambda df: df.assign(ts=df["ts"].astype("int64") // 1000), batch_format="pandas"
+    )
+    return lag_lead(
+        ds, ["user_id"], ["value"], lags=(1, 2), leads=(1,), tie_col="event_id",
+        num_buckets=N_BUCKETS,
+    )
+
+
+LAG_LEAD_SQL = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts, value,
+  lag(value, 1) OVER w AS value_lag_1,
+  lag(value, 2) OVER w AS value_lag_2,
+  lead(value, 1) OVER w AS value_lead_1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+"""
+
+
+def sessionize_30m(sf_dir: str):
+    from ..stages.sequence import sessionize
+
+    ds = _events_ds(sf_dir, ["event_id", "user_id", "ts"]).map_batches(
+        lambda df: df.assign(ts=df["ts"].astype("int64") // 1000), batch_format="pandas"
+    )
+    return sessionize(ds, ["user_id"], gap_ms=30 * 60 * 1000, tie_col="event_id",
+                      num_buckets=N_BUCKETS)
+
+
+SESSIONIZE_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 1800000
+                     THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM x)
+SELECT event_id, user_id, ts, CAST(sid AS BIGINT) AS session_id,
+  CAST(row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) - 1 AS BIGINT)
+    AS session_event_seq
+FROM y
+"""
+
+
+# ------------------------------------------------------- snapshot & join
+
+
+def snapshot_daily(sf_dir: str):
+    from .group_by import snapshot_backfill
+
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.SUM, "value", windows=[Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.COUNT, "value"),
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+        name="snap",
+    )
+    out = snapshot_backfill(gb, ["2024-01-10", "2024-01-15"], num_buckets=N_BUCKETS)
+    return out.select_columns(["user_id", "ds", "value_sum_7d", "value_count"])
+
+
+SNAPSHOT_SQL = f"""
+WITH keys AS (SELECT DISTINCT user_id FROM events),
+d AS (SELECT unnest(['2024-01-10', '2024-01-15']) AS ds),
+e AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events)
+SELECT k.user_id, d.ds,
+  (SELECT sum(e.value) FROM e WHERE e.user_id = k.user_id
+     AND e.ts < epoch_ms(CAST(d.ds AS DATE) + 1)
+     AND e.ts >= epoch_ms(CAST(d.ds AS DATE) + 1) - {7 * DAY}) AS value_sum_7d,
+  (SELECT nullif(count(e.value), 0) FROM e WHERE e.user_id = k.user_id
+     AND e.ts < epoch_ms(CAST(d.ds AS DATE) + 1)) AS value_count
+FROM keys k CROSS JOIN d
+"""
+
+
+def join_enrich(sf_dir: str):
+    from .join import backfill_join
+
+    user_gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.SUM, "value", windows=[Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.COUNT, "value"),
+        ],
+        name="user_stats",
+    )
+    type_gb = GroupBy(
+        sources=[
+            EventSource(
+                table=f"{sf_dir}/events.parquet",
+                query=Query(selects={"etype": "event_type", "value": "value"},
+                            time_column="epoch_ms(ts)"),
+            )
+        ],
+        key_columns=["etype"],
+        aggregations=[Aggregation(Operation.AVERAGE, "value", windows=[Window(1, TimeUnit.DAYS)])],
+        name="type_stats",
+    )
+    join = Join(
+        left=EventSource(
+            table=f"{sf_dir}/events.parquet",
+            query=Query(
+                selects={"event_id": "event_id", "user_id": "user_id",
+                         "event_type": "event_type"},
+                time_column="epoch_ms(ts)",
+            ),
+        ),
+        join_parts=[
+            JoinPart(group_by=user_gb),
+            JoinPart(group_by=type_gb, key_mapping={"event_type": "etype"}, prefix="t"),
+        ],
+        derivations=[
+            Derivation("*", "*"),
+            Derivation("sum_per_count", "user_stats_value_sum_7d / user_stats_value_count"),
+        ],
+        name="enriched",
+    )
+    return backfill_join(join, num_buckets=N_BUCKETS)
+
+
+JOIN_ENRICH_SQL = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts, value FROM events),
+base AS (
+  SELECT l.event_id, l.user_id, l.event_type, l.ts,
+    (SELECT sum(r.value) FROM e r WHERE r.user_id = l.user_id
+       AND r.ts < l.ts AND r.ts >= (l.ts - {7 * DAY})//{HOUR}*{HOUR}) AS user_stats_value_sum_7d,
+    (SELECT nullif(count(r.value), 0) FROM e r WHERE r.user_id = l.user_id AND r.ts < l.ts)
+       AS user_stats_value_count,
+    (SELECT avg(r.value) FROM e r WHERE r.event_type = l.event_type
+       AND r.ts < l.ts AND r.ts >= (l.ts - {DAY})//{HOUR}*{HOUR}) AS t_type_stats_value_average_1d
+  FROM e l)
+SELECT *, user_stats_value_sum_7d / user_stats_value_count AS sum_per_count FROM base
+"""
+
+
+# --------------------------------------------------------------- relational
+
+
+def q1_pricing_summary(sf_dir: str):
+    import ray.data
+
+    from ..functions.relational import sql_group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    return sql_group_agg(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        partials={
+            "sum_qty": "sum(l_quantity)",
+            "sum_base_price": "sum(l_extendedprice)",
+            "sum_disc_price": "sum(l_extendedprice * (1 - l_discount))",
+            "sum_disc": "sum(l_discount)",
+            "count_order": "count(*)",
+        },
+        merge={"sum_qty": "sum", "sum_base_price": "sum", "sum_disc_price": "sum",
+               "sum_disc": "sum", "count_order": "sum"},
+        finals={
+            "sum_qty": "sum_qty",
+            "sum_base_price": "sum_base_price",
+            "sum_disc_price": "sum_disc_price",
+            "avg_qty": "sum_qty / count_order",
+            "avg_disc": "sum_disc / count_order",
+            "count_order": "count_order",
+        },
+        where="l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'",
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  sum(l_extendedprice) AS sum_base_price,
+  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+  sum(l_quantity) / count(*) AS avg_qty,
+  sum(l_discount) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(sf_dir: str):
+    import ray.data
+
+    from ..functions.relational import sql_group_agg
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    cust = cust.filter(expr="c_mktsegment == 'BUILDING'")
+    joined = orders.join(cust, join_type="inner", num_partitions=N_BUCKETS,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    rev = sql_group_agg(
+        li, keys=["l_orderkey"],
+        partials={"revenue": "sum(l_extendedprice * (1 - l_discount))"},
+        merge={"revenue": "sum"},
+    )
+    out = joined.join(rev, join_type="inner", num_partitions=N_BUCKETS,
+                      on=("o_orderkey",), right_on=("l_orderkey",))
+    out = out.select_columns(["o_orderkey", "o_orderdate", "revenue"])
+    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+# ------------------------------------------------------------ corpus extras
+
+
+def dedup_exact_docs(sf_dir: str):
+    import ray.data
+
+    from ..stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(ds, ["text"], order_col="doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT * FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
+
+def text_stats_docs(sf_dir: str):
+    import ray.data
+
+    from ..stages.text import TextStats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TextStats("text"), batch_format="pandas")
+    return out.select_columns(
+        ["doc_id", "n_chars2", "n_tokens", "avg_token_len", "alpha_ratio", "digit_ratio"]
+    )
+
+
+TEXT_STATS_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+x AS (SELECT doc_id, text, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks FROM t)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars2,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(toks) > 0
+       THEN CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS DOUBLE) / len(toks)
+  END AS avg_token_len,
+  CASE WHEN length(text) > 0
+       THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+  END AS alpha_ratio,
+  CASE WHEN length(text) > 0
+       THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+  END AS digit_ratio
+FROM x
+"""
+
+
+def ann_cosine_topk(sf_dir: str):
+    import ray.data
+
+    from ..stages.ann import brute_force_topk
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    qdf = df[df["vec_id"] < 8].sort_values("vec_id")
+    qvecs = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qvecs, qdf["vec_id"].to_numpy(), "embedding", "vec_id", k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q.qid, c.vec_id,
+        row_number() OVER (PARTITION BY q.qid ORDER BY
+          list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
+          c.vec_id) AS rank
+      FROM q CROSS JOIN embeddings c)
+SELECT CAST(qid AS BIGINT) AS query_id, vec_id, CAST(rank AS BIGINT) AS rank
+FROM s WHERE rank <= 10
+"""
+
+
+def elementwise_avg_by_label(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        out_l, out_i, out_s, out_c = [], [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            s = vecs[m].sum(axis=0)
+            out_l.extend([int(lab)] * len(s))
+            out_i.extend(range(len(s)))
+            out_s.extend(s)
+            out_c.extend([int(m.sum())] * len(s))
+        return pa.table(
+            {"label": pa.array(out_l, pa.int32()), "i": pa.array(out_i, pa.int32()),
+             "s": pa.array(out_s, pa.float64()), "c": pa.array(out_c, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "i"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("i")
+        return pd.DataFrame(
+            {"label": [g["label"].iloc[0]], "avg_embedding": [(g["s"] / g["c"]).tolist()]}
+        )
+
+    return merged.groupby("label").map_groups(finish, batch_format="pandas")
+
+
+ELEMENTWISE_SQL = """
+SELECT label, list(a ORDER BY i) AS avg_embedding FROM (
+  SELECT label, i, avg(x) AS a FROM (
+    SELECT label, unnest(embedding) AS x, unnest(range(1, len(embedding)+1)) AS i
+    FROM embeddings)
+  GROUP BY label, i)
+GROUP BY label
+"""
+
+
+# ---------------------------------------------------- rows-only (no SQL oracle)
+
+
+def minhash_clusters_docs(sf_dir: str):
+    import ray.data
+
+    from ..stages.dedup import minhash_lsh_clusters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_clusters(ds, "text", "doc_id")
+
+
+def simhash_docs(sf_dir: str):
+    import ray.data
+
+    from ..stages.dedup import SimHash
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(SimHash("text"), batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"]
+    )
+
+
+def langid_docs(sf_dir: str):
+    import ray.data
+
+    from ..stages.text import LangId, QualityScore
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    out = out.map_batches(QualityScore, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "lang", "lang_guess", "quality_score"])
+
+
+def fingerprint_docs(sf_dir: str):
+    import ray.data
+
+    from ..stages.text import Fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(Fingerprint("text"), batch_format="pandas").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def approx_distinct_users(sf_dir: str):
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "event_type": "event_type",
+                                         "value": "value"})],
+        key_columns=["event_type"],
+        aggregations=[
+            Aggregation(Operation.APPROX_UNIQUE_COUNT, "user_id", arg_map={"lgk": 10}),
+            Aggregation(Operation.APPROX_PERCENTILE, "value",
+                        arg_map={"k": 128, "percentiles": "[0.5]"}),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="approx",
+    )
+    from .group_by import features_for_queries
+
+    # one query per event_type at the max ts + 1
+    import ray.data
+
+    left = (
+        _events_ds(sf_dir, ["event_type", "ts"])
+        .map_batches(
+            lambda df: df.assign(ts=df["ts"].astype("int64") // 1000)
+            .groupby("event_type", as_index=False)["ts"].max()
+            .assign(ts=lambda d: d["ts"] + 1),
+            batch_format="pandas",
+        )
+        .groupby("event_type")
+        .map_groups(lambda g: g.sort_values("ts").tail(1), batch_format="pandas")
+    )
+    return features_for_queries(gb, left, num_buckets=4)
+
+
+def lsh_ann_docs(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.ann import lsh_bucketed_topk
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    df = pq.read_table(emb_path, columns=["vec_id", "embedding"]).to_pandas()
+    qdf = df[df["vec_id"] < 4].sort_values("vec_id")
+    qvecs = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = lsh_bucketed_topk(ds, qvecs, qdf["vec_id"].to_numpy(), "embedding", "vec_id",
+                            k=5, n_planes=4)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def image_backfill_small(sf_dir: str):
+    """Flagship image pipeline on a deterministic generated table (the sf_dir
+    tables carry no image payloads; BASELINE's input shape is synthesized)."""
+    import os
+
+    from ..stages.images import generate_image_events
+    from .images import image_feature_backfill
+
+    path = "/tmp/raywin_img_small"
+    if not os.path.exists(os.path.join(path, "part-0000.parquet")):
+        generate_image_events(path, n_rows=2000, n_entities=300, files=4)
+    return image_feature_backfill(path, num_buckets=8)
+
+
+ORACLE_QUERIES = {
+    "asof_core": (asof_core, ASOF_CORE_SQL),
+    "asof_timed": (asof_timed, ASOF_TIMED_SQL),
+    "asof_moments": (asof_moments, ASOF_MOMENTS_SQL),
+    "asof_distinct_topk": (asof_distinct_topk, ASOF_DISTINCT_SQL),
+    "asof_histogram": (asof_histogram_exploded, ASOF_HISTOGRAM_SQL),
+    "lag_lead": (lag_lead_events, LAG_LEAD_SQL),
+    "sessionize": (sessionize_30m, SESSIONIZE_SQL),
+    "snapshot_daily": (snapshot_daily, SNAPSHOT_SQL),
+    "join_enrich": (join_enrich, JOIN_ENRICH_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_revenue": (q3_top_revenue, Q3_SQL),
+    "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "text_stats": (text_stats_docs, TEXT_STATS_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
+    "elementwise_avg": (elementwise_avg_by_label, ELEMENTWISE_SQL),
+}
+
+ROWS_ONLY_QUERIES = {
+    "minhash_clusters": minhash_clusters_docs,
+    "simhash_docs": simhash_docs,
+    "langid_quality": langid_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "approx_sketches": approx_distinct_users,
+    "lsh_ann": lsh_ann_docs,
+    "image_backfill": image_backfill_small,
+}

@@ -142,6 +142,24 @@ class PartitionKernel:
         return pa.Table.from_arrays(cols, schema=pa.schema(list(self.left_schema) + self.out_fields))
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset whose last stage may be a pandas block."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+        else:
+            try:
+                fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append(pa.field(n, pa.string()))  # pandas object column
+    return pa.schema(fields)
+
+
 def events_dataset(group_by: GroupBy):
     """Scan + union all sources of a GroupBy (reference GroupBy.from,
     GroupBy.scala:459-565)."""
@@ -154,6 +172,7 @@ def features_for_queries(
     num_buckets: int = 64,
     resolution=None,
     head_rounding: int = 1,
+    right_ds=None,
 ):
     """Point-in-time features for every left (keys..., ts) row.
 
@@ -165,17 +184,12 @@ def features_for_queries(
         resolution = (
             FiveMinuteResolution if group_by.accuracy is Accuracy.TEMPORAL else DailyResolution
         )
-    right_ds = events_dataset(group_by)
+    if right_ds is None:
+        right_ds = events_dataset(group_by)
     parts = group_by.agg_parts()
 
-    right_schema = right_ds.schema()
-    r_arrow = pa.schema(
-        [pa.field(n, t) for n, t in zip(right_schema.names, right_schema.types)]
-    )
-    left_schema_rd = left_ds.schema()
-    l_arrow = pa.schema(
-        [pa.field(n, t) for n, t in zip(left_schema_rd.names, left_schema_rd.types)]
-    )
+    r_arrow = _arrow_schema(right_ds)
+    l_arrow = _arrow_schema(left_ds)
     input_types = {
         p.input_column: r_arrow.field(p.input_column).type for p in parts
     }

@@ -1,0 +1,77 @@
+"""Flagship pipeline: point-in-time feature backfill over an image+caption
+event table (the BASELINE north-star shape).
+
+    image events (image_id, bytes, w, h, fmt, caption, phash, ts, score, views)
+      -> DecodeFeatures actor pool (decode, PSNR/caption invariants,
+         pixel features; payload bytes dropped before any shuffle)
+      -> distinct (image_id, ts) backfill queries
+      -> temporal sawtooth features per entity x timestamp
+
+The wide binary column never rides through the aggregation shuffle
+(projected out in the decode stage — SURVEY.md §7.5 hard part #4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..api import Accuracy, Aggregation, EventSource, GroupBy, Operation, Query, TimeUnit, Window
+from ..stages.images import DecodeFeatures, make_caption
+from .group_by import features_for_queries
+
+
+class CaptionCheck:
+    """Verify captions survive byte-exact through every hop (cheap per batch)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        for i, c in zip(ids, caps):
+            expected = make_caption(i)
+            assert c == expected, f"caption corrupted for {i}: {c!r} != {expected!r}"
+        return batch
+
+
+def image_feature_group_by(table_path: str) -> GroupBy:
+    return GroupBy(
+        sources=[EventSource(table=table_path, query=Query())],
+        key_columns=["image_id"],
+        aggregations=[
+            Aggregation(Operation.SUM, "views", windows=[Window(1, TimeUnit.DAYS), Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.COUNT, "views", windows=[Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.AVERAGE, "score", windows=[Window(7, TimeUnit.DAYS), Window(-1)]),
+            Aggregation(Operation.LAST_K, "mean_lum", windows=[Window(7, TimeUnit.DAYS)], arg_map={"k": 3}),
+            Aggregation(Operation.APPROX_PERCENTILE, "contrast", windows=[Window(30, TimeUnit.DAYS)],
+                        arg_map={"k": 128, "percentiles": "[0.5, 0.95]"}),
+            Aggregation(Operation.MAX, "edge_energy", windows=[Window(7, TimeUnit.DAYS)]),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="img",
+        tie_breaker="phash",
+    )
+
+
+def image_feature_backfill(
+    table_path: str,
+    num_buckets: int = 64,
+    check_invariants: bool = True,
+    decode_concurrency=(2, 8),
+):
+    import ray.data
+
+    events = ray.data.read_parquet(table_path)
+    if check_invariants:
+        events = events.map_batches(CaptionCheck, batch_format="pyarrow", concurrency=(1, 4))
+    decoded = events.map_batches(
+        DecodeFeatures,
+        fn_constructor_kwargs={"check_invariants": check_invariants},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=decode_concurrency,
+    )
+    gb = image_feature_group_by(table_path)
+    left = decoded.select_columns(["image_id", "ts"]).groupby(["image_id", "ts"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+    return features_for_queries(gb, left, num_buckets=num_buckets, right_ds=decoded)

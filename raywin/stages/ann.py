@@ -1,0 +1,130 @@
+"""Approximate/exact nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once with
+``ray.put`` and every batch does one numpy matmul against it (never a shuffle
+of the corpus).  Scale path: LSH-bucketed variant (random hyperplane signs)
+that prunes each batch to candidate buckets before the matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+class _BatchTopK:
+    """Per-batch local top-k candidates vs the broadcast query matrix."""
+
+    def __init__(self, query_ref, query_ids, vec_col: str, id_col: str, k: int):
+        import ray
+
+        self.q = _normalize(np.asarray(ray.get(query_ref), dtype=np.float64))
+        self.query_ids = np.asarray(query_ids)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(vecs) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), self.id_col: pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        sims = self.q @ _normalize(vecs).T  # (nq, nbatch)
+        k = min(self.k, sims.shape[1])
+        # deterministic top-k per query: sim desc, id asc
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            cand = part[qi]
+            out_q.extend([self.query_ids[qi]] * len(cand))
+            out_id.extend(ids[cand])
+            out_sim.extend(sims[qi, cand])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                self.id_col: pa.array(out_id),
+                "sim": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, query_vectors: np.ndarray, query_ids, vec_col: str, id_col: str, k: int):
+    """Exact cosine top-k of every query vector against the corpus.
+
+    Returns (query_id, id_col, sim, rank) — rank 1-based, ties broken by id.
+    """
+    import ray
+
+    ref = ray.put(np.asarray(query_vectors, dtype=np.float64))
+    local = ds.map_batches(
+        _BatchTopK(ref, query_ids, vec_col, id_col, k), batch_format="pyarrow"
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+class _LshPlanes:
+    """Shared random hyperplanes for the LSH-bucketed variant."""
+
+    def __init__(self, dim: int, n_planes: int, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def signature(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes.T) > 0
+        return (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
+
+
+def lsh_bucketed_topk(ds, query_vectors: np.ndarray, query_ids, vec_col: str, id_col: str,
+                      k: int, n_planes: int = 8):
+    """Approximate cosine top-k: corpus rows are pruned per batch to those
+    sharing an LSH hyperplane-sign bucket with at least one query (candidate
+    recall grows with fewer planes).  Same output schema as brute_force_topk."""
+    import ray
+
+    q = np.asarray(query_vectors, dtype=np.float64)
+    planes = _LshPlanes(q.shape[1], n_planes)
+    q_sigs = set(planes.signature(_normalize(q)).tolist())
+    ref = ray.put(q)
+    sig_ref = ray.put((planes.planes, q_sigs))
+
+    class Pruned(_BatchTopK):
+        def __init__(self):
+            super().__init__(ref, query_ids, vec_col, id_col, k)
+            pl, sigs = ray.get(sig_ref)
+            self.planes = pl
+            self.sigs = sigs
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+            if len(vecs):
+                signs = (_normalize(vecs) @ self.planes.T) > 0
+                sig = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
+                mask = np.array([s in self.sigs for s in sig.tolist()])
+                batch = batch.filter(pa.array(mask))
+            return super().__call__(batch)
+
+    local = ds.map_batches(Pruned, batch_format="pyarrow", concurrency=(1, 8))
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")

@@ -12,8 +12,30 @@ stages.
 from __future__ import annotations
 
 import re
+import threading
 
 import pyarrow as pa
+
+_duckdb_lock = threading.Lock()
+
+
+def get_duckdb():
+    """Serialized duckdb import: concurrent first-import from multiple
+    threads of one Ray worker races in pybind11 type registration.  A failed
+    first import poisons sys.modules, so clear and retry once."""
+    with _duckdb_lock:
+        try:
+            import duckdb
+
+            return duckdb
+        except ImportError:
+            import sys
+
+            for mod in [m for m in sys.modules if m == "duckdb" or m.startswith("duckdb.")]:
+                del sys.modules[mod]
+            import duckdb
+
+            return duckdb
 
 from ..api import Derivation, Query
 
@@ -59,10 +81,8 @@ class SqlBatch:
         self._con = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import duckdb
-
         if self._con is None:
-            self._con = duckdb.connect(":memory:")
+            self._con = get_duckdb().connect(":memory:")
         self._con.register(self.relation, batch)
         out = self._con.execute(self.sql).fetch_arrow_table()
         self._con.unregister(self.relation)
