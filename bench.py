@@ -1,0 +1,157 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default sf0.1)
+with ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "feature_rows_per_sec": ...}
+
+--scaling: runs the headline image backfill twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+scaling efficiency eff = (T_8 / T_32) / 4 (the sandbox stand-in for the
+BASELINE's N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_IMG_DIR = os.environ.get("RAYWIN_BENCH_IMG", "/tmp/raywin_img_bench")
+BENCH_IMG_ROWS = int(os.environ.get("RAYWIN_BENCH_IMG_ROWS", "300000"))
+
+
+def ensure_bench_images():
+    from raywin.stages.images import generate_image_events
+
+    marker = os.path.join(BENCH_IMG_DIR, f"part-0015.parquet")
+    if not os.path.exists(marker):
+        generate_image_events(
+            BENCH_IMG_DIR, n_rows=BENCH_IMG_ROWS, n_entities=BENCH_IMG_ROWS // 40,
+            files=16, skew=1.2,
+        )
+    return BENCH_IMG_DIR
+
+
+def run_benchmarks():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from raywin.pipelines import catalog
+    from raywin.pipelines.images import image_feature_backfill
+
+    img_dir = ensure_bench_images()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return n
+
+    # headline: image feature backfill (decode + invariants + temporal sawtooth)
+    n_feat = timed(
+        "image_backfill",
+        lambda: image_feature_backfill(img_dir, num_buckets=4 * NUM_CPUS,
+                                       decode_concurrency=(2, NUM_CPUS)).count(),
+    )
+    extra["feature_rows"] = n_feat
+    extra["feature_rows_per_sec"] = round(n_feat / timings["image_backfill"], 1)
+
+    if os.environ.get("RAYWIN_SCALING_CHILD"):
+        result = {
+            "metric": "raywin image backfill wall time",
+            "value": timings["image_backfill"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            **extra,
+        }
+        print(json.dumps(result))
+        return result
+
+    # as-of join over the sf events table (wall-time criterion)
+    timed("asof_core", lambda: catalog.asof_core(SF_DIR).count())
+    timed("asof_timed", lambda: catalog.asof_timed(SF_DIR).count())
+    timed("join_enrich", lambda: catalog.join_enrich(SF_DIR).count())
+    timed("lag_lead", lambda: catalog.lag_lead_events(SF_DIR).count())
+    timed("sessionize", lambda: catalog.sessionize_30m(SF_DIR).count())
+    timed("q1_pricing_summary", lambda: catalog.q1_pricing_summary(SF_DIR).count())
+    timed("minhash_clusters", lambda: catalog.minhash_clusters_docs(SF_DIR).count())
+    timed("ann_cosine_topk", lambda: catalog.ann_cosine_topk(SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "raywin headline pipelines wall time (image backfill + as-of joins)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extra,
+    }
+    print(json.dumps(result))
+    return result
+
+
+def run_scaling():
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAYWIN_SCALING_CHILD="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["queries"]["image_backfill"]
+    t32 = results[32]["queries"]["image_backfill"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "scaling": {
+                    "sec_8cpu": t8,
+                    "sec_32cpu": t32,
+                    "rows_per_sec_8cpu": results[8]["feature_rows_per_sec"],
+                    "rows_per_sec_32cpu": results[32]["feature_rows_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                },
+                "full_8": results[8],
+                "full_32": results[32],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        # warm the page cache so both runs measure compute, not first disk read
+        ensure_bench_images()
+        run_scaling()
+    else:
+        run_benchmarks()
+        import ray
+
+        ray.shutdown()

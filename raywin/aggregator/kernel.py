@@ -538,6 +538,8 @@ class PartitionAggregator:
             if col.numeric is None and op not in (Operation.MIN, Operation.MAX):
                 return self._object_engine(part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq)
             return self._segtree_engine(part, get_col, get_bounds, segtrees, nq)
+        if op is Operation.APPROX_PERCENTILE:
+            return self._percentile_engine(part, get_col, get_bounds, nq)
         return self._object_engine(part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq)
 
     def _prefix_engine(self, part, get_col, get_bounds):
@@ -601,6 +603,99 @@ class PartitionAggregator:
         if state is None:
             return np.full(nq, None, dtype=object)
         return tree.ir.finalize(state, valid)
+
+    def _percentile_engine(self, part, get_col, get_bounds, nq):
+        """Percentiles over the window's value slice — exact (linear
+        interpolation), deterministic and partition-independent, unlike a
+        merge-order-dependent sketch.
+
+        Two paths chosen by estimated work:
+          * small windows: per-query sort of the slice (vectorizable constant)
+          * hot keys / wide windows: ONE sliding-window pass with a Fenwick
+            tree over value ranks — both window bounds are monotone
+            non-decreasing over the (entity, ts)-sorted partition, so every
+            query is answered in O(log n) after amortized O(1) adds/removes.
+            This is the skew answer for percentile (SURVEY.md §7.5 #5).
+        """
+        import json as _json
+
+        pct = part.arg("percentiles")
+        if isinstance(pct, str):
+            pct = _json.loads(pct)
+        pct = np.asarray(list(pct) if pct else [0.5], dtype=np.float64)
+        col = get_col(part.input_column)
+        l, r = get_bounds(part)
+        lv, rv = col.compress(l, r)
+        vals = col.comp_vals.astype(np.float64)
+        out = np.empty(nq, dtype=object)
+        counts = rv - lv
+        total_work = int(counts.sum())
+        if total_work <= 64 * max(nq, 1):
+            for i in range(nq):
+                a, b = int(lv[i]), int(rv[i])
+                if a >= b:
+                    out[i] = None
+                    continue
+                v = np.sort(vals[a:b])
+                pos = pct * (len(v) - 1)
+                lo = np.floor(pos).astype(np.int64)
+                hi = np.minimum(lo + 1, len(v) - 1)
+                frac = pos - lo
+                out[i] = [float(x) for x in v[lo] * (1 - frac) + v[hi] * frac]
+            return out
+        # Fenwick sliding window over value ranks
+        n = len(vals)
+        order = np.argsort(vals, kind="stable")
+        rank_of_pos = np.empty(n, dtype=np.int64)
+        rank_of_pos[order] = np.arange(n)
+        sorted_vals = vals[order]
+        tree = [0] * (n + 1)
+
+        def update(pos, delta):
+            i = pos + 1
+            while i <= n:
+                tree[i] += delta
+                i += i & (-i)
+
+        log2n = max(1, n.bit_length())
+
+        def select(k):
+            """Position (1-based tree index) of the (k+1)-th present rank."""
+            idx = 0
+            rem = k + 1
+            bit = 1 << log2n
+            while bit:
+                nxt = idx + bit
+                if nxt <= n and tree[nxt] < rem:
+                    idx = nxt
+                    rem -= tree[nxt]
+                bit >>= 1
+            return idx  # 0-based rank = idx
+
+        cur_l = cur_r = 0
+        pcts = pct.tolist()
+        for i in range(nq):
+            a, b = int(lv[i]), int(rv[i])
+            while cur_r < b:
+                update(rank_of_pos[cur_r], 1)
+                cur_r += 1
+            while cur_l < a:
+                update(rank_of_pos[cur_l], -1)
+                cur_l += 1
+            cnt = b - a
+            if cnt <= 0:
+                out[i] = None
+                continue
+            res = []
+            for p in pcts:
+                pos = p * (cnt - 1)
+                lo = int(pos)
+                frac = pos - lo
+                v_lo = sorted_vals[select(lo)]
+                v_hi = sorted_vals[select(min(lo + 1, cnt - 1))] if frac else v_lo
+                res.append(float(v_lo * (1 - frac) + v_hi * frac))
+            out[i] = res
+        return out
 
     def _object_engine(self, part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq):
         op = make_scalar_op(part)

@@ -53,6 +53,35 @@ def sql_group_agg(
     return merged.map_batches(SqlBatch(final_sql), batch_format="pyarrow")
 
 
+def distinct(ds, cols: list[str], num_buckets: int = 64):
+    """DISTINCT rows over `cols`: ONE hash-bucket shuffle, then a vectorized
+    per-partition drop_duplicates (never one Python call per group — the
+    reference's uniqSort analogue, GroupBy.scala:311)."""
+    from ..stages.shuffle import BUCKET_COL, AddBucket
+
+    bucketed = ds.map_batches(AddBucket(cols, num_buckets), batch_format="pyarrow")
+
+    def dd(df):
+        return df.drop_duplicates(cols)
+
+    out = bucketed.groupby(BUCKET_COL).map_groups(dd, batch_format="pandas")
+    return out.drop_columns([BUCKET_COL])
+
+
+def min_by_group(ds, group_cols: list[str], order_col: str, num_buckets: int = 64):
+    """Keep the row with min(order_col) per group — vectorized per partition."""
+    from ..stages.shuffle import BUCKET_COL, AddBucket
+
+    bucketed = ds.map_batches(AddBucket(group_cols, num_buckets), batch_format="pyarrow")
+
+    def pick(df):
+        idx = df.groupby(group_cols, sort=False)[order_col].idxmin()
+        return df.loc[idx]
+
+    out = bucketed.groupby(BUCKET_COL).map_groups(pick, batch_format="pandas")
+    return out.drop_columns([BUCKET_COL])
+
+
 def broadcast_lookup_join(ds, small_df, on: list[str], how: str = "inner"):
     """Join a Dataset against a SMALL pandas table without a shuffle: the
     small side is put in the object store once (ray.put) and merged per batch

@@ -44,15 +44,13 @@ def _events_ds(sf_dir: str, columns):
 
 
 def _distinct_user_ts(sf_dir: str):
-    return (
-        _events_ds(sf_dir, ["user_id", "ts"])
-        .map_batches(
-            lambda df: df.assign(ts=df["ts"].astype("int64") // 1000).drop_duplicates(),
-            batch_format="pandas",
-        )
-        .groupby(["user_id", "ts"])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    from ..functions.relational import distinct
+
+    ds = _events_ds(sf_dir, ["user_id", "ts"]).map_batches(
+        lambda df: df.assign(ts=df["ts"].astype("int64") // 1000).drop_duplicates(),
+        batch_format="pandas",
     )
+    return distinct(ds, ["user_id", "ts"], num_buckets=N_BUCKETS)
 
 
 # --------------------------------------------------------------- as-of core

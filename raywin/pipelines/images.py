@@ -24,11 +24,16 @@ from .group_by import features_for_queries
 class CaptionCheck:
     """Verify captions survive byte-exact through every hop (cheap per batch)."""
 
+    def __init__(self):
+        from functools import lru_cache
+
+        self._caption = lru_cache(maxsize=1 << 16)(make_caption)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
         caps = batch["caption"].to_pylist()
         for i, c in zip(ids, caps):
-            expected = make_caption(i)
+            expected = self._caption(i)
             assert c == expected, f"caption corrupted for {i}: {c!r} != {expected!r}"
         return batch
 
@@ -71,7 +76,13 @@ def image_feature_backfill(
         concurrency=decode_concurrency,
     )
     gb = image_feature_group_by(table_path)
-    left = decoded.select_columns(["image_id", "ts"]).groupby(["image_id", "ts"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    from ..functions.relational import distinct
+
+    # backfill queries come from the RAW event scan (only image_id, ts leave
+    # storage) so the decode stage runs exactly once, for the right side
+    left = distinct(
+        ray.data.read_parquet(table_path, columns=["image_id", "ts"]),
+        ["image_id", "ts"],
+        num_buckets=num_buckets,
     )
     return features_for_queries(gb, left, num_buckets=num_buckets, right_ds=decoded)

@@ -54,11 +54,11 @@ def part_features(
     key_mapping = part.key_mapping or {}
     left_keys = [next((l for l, r in key_mapping.items() if r == k), k) for k in gb.key_columns]
 
-    queries = left_ds.select_columns(list(dict.fromkeys(left_keys + ["ts"])))
+    from ..functions.relational import distinct
+
+    qcols = list(dict.fromkeys(left_keys + ["ts"]))
     # DISTINCT (keys, ts): hash-partitioned dedup (uniqSort analogue)
-    queries = queries.groupby(left_keys + ["ts"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    queries = distinct(left_ds.select_columns(qcols), qcols, num_buckets=num_buckets)
     if key_mapping:
         queries = queries.rename_columns(
             {l: r for l, r in key_mapping.items() if l in left_keys}

@@ -42,20 +42,19 @@ def minhash_signature(text: str, width: int, a: np.ndarray, b: np.ndarray) -> np
     return vals.min(axis=1)
 
 
-def exact_dedup(ds, cols: list[str], order_col: str):
-    """Keep the row with the smallest order_col per distinct `cols` content.
-    Only (hash, order_col, row) rows move through the shuffle."""
+def exact_dedup(ds, cols: list[str], order_col: str, num_buckets: int = 64):
+    """Keep the row with the smallest order_col per distinct `cols` content:
+    content-hash column -> one hash-bucket shuffle -> vectorized min-per-group
+    per partition."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = stable_hash([batch[c].to_numpy(zero_copy_only=False) for c in cols])
         return batch.append_column("__h", pa.array(h.astype(np.int64)))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    from ..functions.relational import min_by_group
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col).head(1)
-
-    out = hashed.groupby("__h").map_groups(first_per_group, batch_format="pandas")
+    out = min_by_group(hashed, ["__h"], order_col, num_buckets=num_buckets)
     return out.drop_columns(["__h"])
 
 
@@ -97,21 +96,32 @@ def minhash_lsh_clusters(ds, text_col: str, id_col: str, num_perm=64, bands=16, 
     bucket's min doc id as a cluster label; a doc in several buckets takes the
     overall min (single-round min-label propagation — transitive chains
     longer than one hop may stay in separate clusters; iterate for full CC)."""
+    from ..stages.shuffle import BUCKET_COL, AddBucket
+
     sig = ds.map_batches(
         MinHashBands(text_col, id_col, num_perm, bands, shingle), batch_format="pyarrow"
     )
+    num_buckets = 64
 
     def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        g["cluster"] = g[id_col].min()
+        g["cluster"] = g.groupby(["band", "band_hash"], sort=False)[id_col].transform("min")
         return g[[id_col, "cluster"]]
 
-    labeled = sig.groupby(["band", "band_hash"]).map_groups(bucket_min, batch_format="pandas")
+    labeled = (
+        sig.map_batches(AddBucket(["band", "band_hash"], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(bucket_min, batch_format="pandas")
+    )
 
     def doc_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [g[id_col].iloc[0]], "cluster": [g["cluster"].min()]})
+        return g.groupby(id_col, as_index=False, sort=False)["cluster"].min()
 
-    return labeled.groupby(id_col).map_groups(doc_min, batch_format="pandas")
+    return (
+        labeled.map_batches(AddBucket([id_col], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(doc_min, batch_format="pandas")
+    )
 
 
 class SimHash:

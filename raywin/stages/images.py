@@ -113,7 +113,10 @@ class DecodeFeatures:
     """
 
     def __init__(self, check_invariants: bool = True):
+        from functools import lru_cache
+
         self.check = check_invariants
+        self._pixels = lru_cache(maxsize=1 << 16)(make_pixels)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
@@ -126,7 +129,7 @@ class DecodeFeatures:
         for i in range(n):
             px = decode_image(blobs[i], fmts[i])
             if self.check:
-                orig = make_pixels(ids[i], px.shape[1], px.shape[0])
+                orig = self._pixels(ids[i], px.shape[1], px.shape[0])
                 p = psnr(orig, px)
                 if fmts[i] == "png":
                     assert p == float("inf"), f"lossless decode mismatch for {ids[i]}"
@@ -183,48 +186,80 @@ def generate_image_events(
     salting/time-bucketing must absorb)."""
     import os
 
-    import pyarrow.parquet as pq
-
     os.makedirs(path, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    # Zipf-ish entity draw with bounded support
-    ranks = np.arange(1, n_entities + 1, dtype=np.float64)
-    probs = ranks**-skew
-    probs /= probs.sum()
     rows_per_file = (n_rows + files - 1) // files
-    span = span_days * 24 * 3600 * 1000
+    jobs = []
     for fi in range(files):
         n = min(rows_per_file, n_rows - fi * rows_per_file)
         if n <= 0:
             break
-        ent_idx = rng.choice(n_entities, n, p=probs)
-        ids = np.array([f"img_{e:08d}" for e in ent_idx])
-        ts = base_ts + rng.integers(0, span, n)
-        fmts = np.where(rng.random(n) < 0.5, "png", "qimg")
-        blobs, captions, phashes = [], [], np.empty(n, dtype=np.int64)
-        for i in range(n):
-            px = make_pixels(ids[i], size, size)
-            blobs.append(png_encode(px) if fmts[i] == "png" else qimg_encode(px))
-            captions.append(make_caption(ids[i]))
-            bits = (px.mean(axis=2) > px.mean()).flatten()[:64]
-            phashes[i] = np.int64(
-                (bits.astype(np.uint64) << np.arange(len(bits), dtype=np.uint64)).sum().astype(np.uint64).view(np.int64)
+        jobs.append((fi, n))
+    try:
+        import ray
+
+        if ray.is_initialized():
+            gen = ray.remote(_generate_image_file)
+            ray.get(
+                [
+                    gen.remote(path, fi, n, n_entities, seed + fi, base_ts, span_days, skew, size)
+                    for fi, n in jobs
+                ]
             )
-        score = rng.normal(0.5, 0.2, n)
-        views = rng.integers(1, 1000, n)
-        table = pa.table(
-            {
-                "image_id": pa.array(ids),
-                "bytes": pa.array(blobs, type=pa.binary()),
-                "w": pa.array(np.full(n, size, np.int32)),
-                "h": pa.array(np.full(n, size, np.int32)),
-                "fmt": pa.array(fmts),
-                "caption": pa.array(captions),
-                "phash": pa.array(phashes),
-                "ts": pa.array(ts.astype(np.int64)),
-                "score": pa.array(score),
-                "views": pa.array(views.astype(np.int64)),
-            }
+            return path
+    except ImportError:
+        pass
+    for fi, n in jobs:
+        _generate_image_file(path, fi, n, n_entities, seed + fi, base_ts, span_days, skew, size)
+    return path
+
+
+def _generate_image_file(path, fi, n, n_entities, seed, base_ts, span_days, skew, size):
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, n_entities + 1, dtype=np.float64)
+    probs = ranks**-skew
+    probs /= probs.sum()
+    span = span_days * 24 * 3600 * 1000
+    ent_idx = rng.choice(n_entities, n, p=probs)
+    ids = np.array([f"img_{e:08d}" for e in ent_idx])
+    ts = base_ts + rng.integers(0, span, n)
+    fmts = np.where(rng.random(n) < 0.5, "png", "qimg")
+    # payloads are pure functions of image_id — compute once per unique entity
+    per_id: dict[str, tuple] = {}
+    for image_id in np.unique(ids):
+        px = make_pixels(image_id, size, size)
+        bits = (px.mean(axis=2) > px.mean()).flatten()[:64]
+        phash = np.int64(
+            (bits.astype(np.uint64) << np.arange(len(bits), dtype=np.uint64))
+            .sum()
+            .astype(np.uint64)
+            .view(np.int64)
         )
-        pq.write_table(table, os.path.join(path, f"part-{fi:04d}.parquet"))
+        per_id[image_id] = (png_encode(px), qimg_encode(px), make_caption(image_id), phash)
+    blobs, captions, phashes = [], [], np.empty(n, dtype=np.int64)
+    for i in range(n):
+        png_b, q_b, cap, ph = per_id[ids[i]]
+        blobs.append(png_b if fmts[i] == "png" else q_b)
+        captions.append(cap)
+        phashes[i] = ph
+    score = rng.normal(0.5, 0.2, n)
+    views = rng.integers(1, 1000, n)
+    table = pa.table(
+        {
+            "image_id": pa.array(ids),
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "w": pa.array(np.full(n, size, np.int32)),
+            "h": pa.array(np.full(n, size, np.int32)),
+            "fmt": pa.array(fmts),
+            "caption": pa.array(captions),
+            "phash": pa.array(phashes),
+            "ts": pa.array(ts.astype(np.int64)),
+            "score": pa.array(score),
+            "views": pa.array(views.astype(np.int64)),
+        }
+    )
+    pq.write_table(table, os.path.join(path, f"part-{fi:04d}.parquet"))
     return path
