@@ -82,6 +82,57 @@ def min_by_group(ds, group_cols: list[str], order_col: str, num_buckets: int = 6
     return out.drop_columns([BUCKET_COL])
 
 
+class _BucketJoinKernel:
+    """map_groups fn: split a co-partitioned bucket by side tag and merge."""
+
+    def __init__(self, on, how, left_names, right_names):
+        self.__name__ = "BucketJoin"
+        self.on = list(on)
+        self.how = how
+        self.left_names = left_names
+        self.right_names = right_names
+
+    def __call__(self, group):
+        import pyarrow as pa_
+
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        lt = group.filter(pa_.array(side == 0)).select(self.left_names)
+        rt = group.filter(pa_.array(side == 1)).select(self.right_names)
+        return lt.to_pandas().merge(rt.to_pandas(), on=self.on, how=self.how)
+
+
+def bucketed_left_join(left_ds, right_ds, on: list[str], num_buckets: int = 64, how: str = "left"):
+    """Partitioned hash join: pad both sides to one schema, tag, union, ONE
+    hash(on) co-partitioning shuffle, then a vectorized pandas merge per
+    partition.  Cheaper than spawning per-join aggregator actor pools when
+    the join is one stage of a larger pipeline."""
+    import numpy as np_
+    import pyarrow as pa_
+
+    from ..pipelines.group_by import _arrow_schema
+    from ..stages.shuffle import BUCKET_COL, SIDE_COL, AddBucket, pad_to_schema, unify_schemas
+
+    l_schema = _arrow_schema(left_ds)
+    r_schema = _arrow_schema(right_ds)
+    unified = unify_schemas(l_schema, r_schema, {SIDE_COL: pa_.int8()})
+
+    def tag(side_val):
+        def fn(batch: pa_.Table) -> pa_.Table:
+            batch = batch.append_column(
+                SIDE_COL, pa_.array(np_.full(len(batch), side_val, dtype=np_.int8))
+            )
+            return pad_to_schema(batch, unified)
+
+        return fn
+
+    unioned = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    bucketed = unioned.map_batches(AddBucket(list(on), num_buckets), batch_format="pyarrow")
+    kernel = _BucketJoinKernel(on, how, list(l_schema.names), list(r_schema.names))
+    return bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format="pyarrow")
+
+
 def broadcast_lookup_join(ds, small_df, on: list[str], how: str = "inner"):
     """Join a Dataset against a SMALL pandas table without a shuffle: the
     small side is put in the object store once (ray.put) and merged per batch

@@ -73,21 +73,29 @@ def part_features(
     return feats.rename_columns(rename), left_keys
 
 
-def backfill_join(join: Join, num_buckets: int = 64):
-    """Full join backfill -> Dataset with left columns + all part features."""
+def backfill_join(join: Join, num_buckets: int = 64, materialize_intermediates: bool = True):
+    """Full join backfill -> Dataset with left columns + all part features.
+
+    The left table and each part's feature table are materialized by default:
+    they fan out to several consumers (per-part query dedup + final assembly)
+    and Ray Data re-executes shared DAG branches otherwise.  This mirrors the
+    reference's materialized bootstrap/part tables (JoinBase.scala:199-222) —
+    part tables ARE the checkpoint.  Disable for single-part joins on huge
+    lefts where recompute beats pinning."""
     left = scan_source(join.left)
     left = _skew_filter(left, join.skew_keys)
+    if materialize_intermediates:
+        left = left.materialize()
     out = left
     left_cols = None
+    from ..functions.relational import bucketed_left_join
+
     for part in join.join_parts:
         feats, left_keys = part_features(part, left, num_buckets)
-        join_keys = tuple(dict.fromkeys(left_keys + ["ts"]))
-        out = out.join(
-            feats,
-            join_type="left_outer",
-            num_partitions=num_buckets,
-            on=join_keys,
-        )
+        if materialize_intermediates:
+            feats = feats.materialize()
+        join_keys = list(dict.fromkeys(left_keys + ["ts"]))
+        out = bucketed_left_join(out, feats, join_keys, num_buckets=num_buckets, how="left")
     if join.derivations:
         if left_cols is None:
             sch = out.schema()

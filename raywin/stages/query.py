@@ -19,23 +19,53 @@ import pyarrow as pa
 _duckdb_lock = threading.Lock()
 
 
+try:  # eager import at module load (single-threaded) — see get_duckdb
+    import duckdb as _duckdb_mod
+except ImportError:  # pragma: no cover - healed lazily below
+    _duckdb_mod = None
+
+
 def get_duckdb():
-    """Serialized duckdb import: concurrent first-import from multiple
-    threads of one Ray worker races in pybind11 type registration.  A failed
-    first import poisons sys.modules, so clear and retry once."""
+    """Robust duckdb accessor.  Concurrent/interrupted first-import inside a
+    Ray worker can fail in pybind11 type registration and permanently poison
+    the process ("generic_type already registered" on every retry).  Strategy:
+    eager import at module load; if unavailable, retry under a lock after
+    clearing sys.modules; if the process is poisoned beyond repair, kill the
+    worker (os._exit) so Ray reschedules the task on a healthy one instead of
+    failing the whole dataset."""
+    global _duckdb_mod
+    if _duckdb_mod is not None:
+        return _duckdb_mod
     with _duckdb_lock:
+        if _duckdb_mod is not None:
+            return _duckdb_mod
+        import sys
+
+        for attempt in range(2):
+            try:
+                for mod in [m for m in sys.modules if m == "duckdb" or m.startswith("duckdb.")]:
+                    del sys.modules[mod]
+                import duckdb
+
+                _duckdb_mod = duckdb
+                return duckdb
+            except ImportError:
+                continue
+        import os
+
+        is_worker = False
         try:
-            import duckdb
+            import ray
 
-            return duckdb
-        except ImportError:
-            import sys
-
-            for mod in [m for m in sys.modules if m == "duckdb" or m.startswith("duckdb.")]:
-                del sys.modules[mod]
-            import duckdb
-
-            return duckdb
+            is_worker = (
+                ray.is_initialized()
+                and ray._private.worker.global_worker.mode == ray._private.worker.WORKER_MODE
+            )
+        except Exception:
+            pass
+        if is_worker:
+            os._exit(17)  # poisoned worker: die so the task retries elsewhere
+        raise ImportError("duckdb import poisoned and unrecoverable")
 
 from ..api import Derivation, Query
 
