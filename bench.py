@@ -23,8 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_IMG_DIR = os.environ.get("RAYWIN_BENCH_IMG", "/tmp/raywin_img_bench")
-BENCH_IMG_ROWS = int(os.environ.get("RAYWIN_BENCH_IMG_ROWS", "300000"))
+BENCH_IMG_DIR = os.environ.get("RAYWIN_BENCH_IMG", "/tmp/raywin_img_bench1m")
+BENCH_IMG_ROWS = int(os.environ.get("RAYWIN_BENCH_IMG_ROWS", "1000000"))
 
 
 def ensure_bench_images():
@@ -67,10 +67,11 @@ def run_benchmarks():
         return n
 
     # headline: image feature backfill (decode + invariants + temporal sawtooth)
+    # fixed partition count at both parallelism levels: scaling efficiency
+    # must compare identical work, only the executor width changes
     n_feat = timed(
         "image_backfill",
-        lambda: image_feature_backfill(img_dir, num_buckets=4 * NUM_CPUS,
-                                       decode_concurrency=(2, NUM_CPUS)).count(),
+        lambda: image_feature_backfill(img_dir, num_buckets=128).count(),
     )
     extra["feature_rows"] = n_feat
     extra["feature_rows_per_sec"] = round(n_feat / timings["image_backfill"], 1)

@@ -36,6 +36,7 @@ import pandas as pd
 
 from ..api import AggregationPart, Operation
 from .scalar_ops import ScalarOp, make_scalar_op
+from .npfast import cumsum1d, cumsum_cols, cumsum_rows
 from .windowing import FiveMinuteResolution, round_down
 
 _PREFIX_OPS = {Operation.SUM, Operation.COUNT, Operation.AVERAGE}
@@ -99,7 +100,7 @@ class _Column:
             self.numeric = None
         # exclusive prefix count of valid values: cum_valid[i] = #valid in [0, i)
         self.cum_valid = np.zeros(len(raw) + 1, dtype=np.int64)
-        np.cumsum(self.valid, out=self.cum_valid[1:])
+        self.cum_valid[1:] = cumsum1d(self.valid)
         self.comp_vals = raw[self.valid]  # null-compressed values, still ts-sorted
         self.comp_ts = ts_sorted[self.valid]
         self._cumsum = None
@@ -116,7 +117,7 @@ class _Column:
             vals = np.where(self.valid, self.numeric, 0)
             dtype = np.int64 if vals.dtype.kind in "iub" else np.float64
             cs = np.zeros(len(vals) + 1, dtype=dtype)
-            np.cumsum(vals.astype(dtype), out=cs[1:])
+            cs[1:] = cumsum1d(vals, dtype=dtype)
             self._cumsum = cs
         return self._cumsum
 
@@ -439,12 +440,14 @@ class PartitionAggregator:
         resolution=FiveMinuteResolution,
         head_rounding: int = 1,
         tie_breaker: str | None = None,
+        dedupe_queries: bool = False,
     ):
         self.key_cols = key_cols
         self.parts = parts
         self.resolution = resolution
         self.head_rounding = head_rounding
         self.tie_breaker = tie_breaker
+        self.dedupe_queries = dedupe_queries
 
     def aggregate(self, events: pd.DataFrame, queries: pd.DataFrame) -> pd.DataFrame:
         """events: key_cols + ts + inputs; queries: key_cols + ts + passthrough.
@@ -467,6 +470,13 @@ class PartitionAggregator:
 
         ev_ent_s, ev_ts_s = ev_ent[ev_order], ev_ts[ev_order]
         q_ent_s, q_ts_s = q_ent[q_order], q_ts[q_order]
+        if self.dedupe_queries and len(q_ts_s):
+            # dedupe (entity, ts) inside the co-partition shuffle — saves a
+            # dedicated DISTINCT exchange (uniqSort analogue, GroupBy.scala:311)
+            keep = np.ones(len(q_ts_s), dtype=bool)
+            keep[1:] = (np.diff(q_ent_s) != 0) | (np.diff(q_ts_s) != 0)
+            q_order = q_order[keep]
+            q_ent_s, q_ts_s = q_ent_s[keep], q_ts_s[keep]
         events_s = events.iloc[ev_order].reset_index(drop=True)
         out = queries.iloc[q_order].reset_index(drop=True)
 
@@ -584,7 +594,7 @@ class PartitionAggregator:
             flat = _ranges(lv, lengths, step=1)
         picked = vals[flat]
         offsets = np.zeros(nq + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offsets[1:])
+        offsets[1:] = cumsum1d(lengths, dtype=np.int64)
         out = np.empty(nq, dtype=object)
         for i in range(nq):
             out[i] = list(picked[offsets[i] : offsets[i + 1]]) if lengths[i] else None
@@ -643,6 +653,8 @@ class PartitionAggregator:
                 frac = pos - lo
                 out[i] = [float(x) for x in v[lo] * (1 - frac) + v[hi] * frac]
             return out
+        if total_work > 4_000_000:
+            return self._binned_percentiles(vals, lv, rv, pct, nq)
         # Fenwick sliding window over value ranks
         n = len(vals)
         order = np.argsort(vals, kind="stable")
@@ -697,6 +709,49 @@ class PartitionAggregator:
             out[i] = res
         return out
 
+    def _binned_percentiles(self, vals, lv, rv, pct, nq, n_bins: int = 256,
+                            chunk: int = 8192):
+        """Fully vectorized approximate percentiles for very hot keys: values
+        quantized to equi-depth bins, per-bin cumulative counts snapshotted at
+        every needed window boundary, per-query CDF via two gathers.  Rank
+        error <= window/n_bins — the hybrid exact->approx pattern of the
+        reference's ApproxHistogram (SimpleAggregators.scala:459-601).
+
+        Queries are processed in chunks so the temporary arrays stay a few MB
+        — same-size allocations then reuse warm arena pages (page faults on
+        fresh memory are the scarce resource here, see raywin/__init__)."""
+        n = len(vals)
+        sample = vals if n <= 100_000 else vals[:: max(1, n // 100_000)]
+        edges = np.unique(np.quantile(np.sort(sample), np.linspace(0, 1, n_bins + 1)))
+        centers = (edges[:-1] + edges[1:]) / 2
+        nb = len(centers)
+        bin_idx = np.clip(np.searchsorted(edges, vals, side="right") - 1, 0, nb - 1)
+        out = np.empty(nq, dtype=object)
+        for c0 in range(0, nq, chunk):
+            c1 = min(c0 + chunk, nq)
+            clv, crv = lv[c0:c1], rv[c0:c1]
+            positions = np.unique(np.concatenate([clv, crv]))
+            e0, e1 = int(positions[0]), int(positions[-1])
+            # snapshot cumulative bin counts at this chunk's boundaries only
+            seg = np.searchsorted(positions, np.arange(e0, e1), side="right") - 1
+            snaps = np.zeros((len(positions) + 1, nb), dtype=np.int32)
+            np.add.at(snaps[1:], (seg, bin_idx[e0:e1]), 1)
+            snaps = cumsum_cols(snaps)[:-1]  # counts in [positions[0], positions[i])
+            li = np.searchsorted(positions, clv)
+            ri = np.searchsorted(positions, crv)
+            counts = snaps[ri] - snaps[li]
+            cdf = cumsum_rows(counts)
+            totals = cdf[:, -1]
+            picks = np.empty((len(pct), c1 - c0), dtype=np.int64)
+            for pi, p in enumerate(pct):
+                target = np.maximum(1, np.ceil(p * totals)).astype(np.int64)
+                picks[pi] = np.minimum((cdf < target[:, None]).sum(axis=1), nb - 1)
+            vals_at = centers[picks]
+            empty = totals == 0
+            for j in range(c1 - c0):
+                out[c0 + j] = None if empty[j] else [float(x) for x in vals_at[:, j]]
+        return out
+
     def _object_engine(self, part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq):
         op = make_scalar_op(part)
         if part.element_wise:
@@ -720,7 +775,7 @@ class PartitionAggregator:
         hop_start = round_down(ev_ts_s, hop)
         tile_break = np.ones(len(ev_ts_s), dtype=bool)
         tile_break[1:] = (np.diff(hop_start) != 0) | (np.diff(ev_ent_s) != 0)
-        tile_idx = np.cumsum(tile_break) - 1
+        tile_idx = cumsum1d(tile_break) - 1
         tile_bounds = np.flatnonzero(tile_break)
         tile_bounds = np.append(tile_bounds, len(ev_ts_s))
         tiles: dict[int, object] = {}
@@ -775,7 +830,7 @@ def _ranges(starts: np.ndarray, lengths: np.ndarray, step: int) -> np.ndarray:
     if total == 0:
         return np.zeros(0, dtype=np.int64)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
+    offsets[1:] = cumsum1d(lengths, dtype=np.int64)
     flat = np.repeat(starts, lengths)
     within = np.arange(total) - np.repeat(offsets[:-1], lengths)
     return flat + step * within

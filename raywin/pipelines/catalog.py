@@ -44,13 +44,12 @@ def _events_ds(sf_dir: str, columns):
 
 
 def _distinct_user_ts(sf_dir: str):
-    from ..functions.relational import distinct
-
-    ds = _events_ds(sf_dir, ["user_id", "ts"]).map_batches(
+    """(user_id, ts-millis) query rows; exact dedup happens inside the
+    kernel's co-partition shuffle (dedupe_queries=True at the call sites)."""
+    return _events_ds(sf_dir, ["user_id", "ts"]).map_batches(
         lambda df: df.assign(ts=df["ts"].astype("int64") // 1000).drop_duplicates(),
         batch_format="pandas",
     )
-    return distinct(ds, ["user_id", "ts"], num_buckets=N_BUCKETS)
 
 
 # --------------------------------------------------------------- as-of core
@@ -72,7 +71,7 @@ def asof_core(sf_dir: str):
     )
     from .group_by import features_for_queries
 
-    return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+    return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True)
 
 
 ASOF_CORE_SQL = f"""
@@ -109,7 +108,7 @@ def asof_timed(sf_dir: str):
     )
     from .group_by import features_for_queries
 
-    out = features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+    out = features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True)
     return out.drop_columns(["event_id"]) if "event_id" in out.schema().names else out
 
 
@@ -141,7 +140,7 @@ def asof_moments(sf_dir: str):
     )
     from .group_by import features_for_queries
 
-    return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+    return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True)
 
 
 ASOF_MOMENTS_SQL = """
@@ -182,7 +181,7 @@ def asof_distinct_topk(sf_dir: str):
     )
     from .group_by import features_for_queries
 
-    return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+    return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True)
 
 
 ASOF_DISTINCT_SQL = f"""
@@ -215,7 +214,7 @@ def asof_histogram_exploded(sf_dir: str):
     )
     from .group_by import features_for_queries
 
-    feats = features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS)
+    feats = features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True)
 
     def explode(batch: pa.Table) -> pa.Table:
         users, tss, types, cnts = [], [], [], []

@@ -103,6 +103,7 @@ class PartitionKernel:
         resolution=FiveMinuteResolution,
         head_rounding: int = 1,
         tie_breaker: str | None = None,
+        dedupe_queries: bool = False,
     ):
         self.__name__ = "PartitionKernel"  # ray map_groups wraps plain fns
         self.key_cols = key_cols
@@ -115,7 +116,9 @@ class PartitionKernel:
             pa.field(p.output_column, output_type(p, input_types[p.input_column]))
             for p in parts
         ]
-        self.agg = PartitionAggregator(key_cols, parts, resolution, head_rounding, tie_breaker)
+        self.agg = PartitionAggregator(
+            key_cols, parts, resolution, head_rounding, tie_breaker, dedupe_queries
+        )
 
     def __call__(self, group: pa.Table) -> pa.Table:
         side = group[SIDE_COL].to_numpy(zero_copy_only=False)
@@ -173,12 +176,15 @@ def features_for_queries(
     resolution=None,
     head_rounding: int = 1,
     right_ds=None,
+    dedupe_queries: bool = False,
 ):
     """Point-in-time features for every left (keys..., ts) row.
 
     left_ds columns: group_by.key_columns + ts (+ any passthrough columns —
     they ride through the kernel untouched).  Returns one output row per left
-    row with one column per aggregation part.
+    row with one column per aggregation part.  With dedupe_queries, duplicate
+    (keys, ts) left rows are deduplicated inside the co-partition shuffle
+    (left must then carry only keys+ts).
     """
     if resolution is None:
         resolution = (
@@ -187,6 +193,21 @@ def features_for_queries(
     if right_ds is None:
         right_ds = events_dataset(group_by)
     parts = group_by.agg_parts()
+
+    # project the right side to exactly what the kernel reads BEFORE the
+    # shuffle — nothing else should ride the exchange
+    needed = list(
+        dict.fromkeys(
+            group_by.key_columns
+            + ["ts"]
+            + [p.input_column for p in parts]
+            + [p.bucket for p in parts if p.bucket]
+            + ([group_by.tie_breaker] if group_by.tie_breaker else [])
+        )
+    )
+    r_names = set(_arrow_schema(right_ds).names)
+    if set(needed) != r_names:
+        right_ds = right_ds.select_columns([c for c in needed if c in r_names])
 
     r_arrow = _arrow_schema(right_ds)
     l_arrow = _arrow_schema(left_ds)
@@ -219,6 +240,7 @@ def features_for_queries(
         resolution,
         head_rounding,
         group_by.tie_breaker,
+        dedupe_queries,
     )
     out = bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format="pyarrow")
     out_cols = list(l_arrow.names) + [p.output_column for p in parts]

@@ -61,28 +61,32 @@ def image_feature_backfill(
     table_path: str,
     num_buckets: int = 64,
     check_invariants: bool = True,
-    decode_concurrency=(2, 8),
+    decode_concurrency=None,
 ):
     import ray.data
 
     events = ray.data.read_parquet(table_path)
-    if check_invariants:
-        events = events.map_batches(CaptionCheck, batch_format="pyarrow", concurrency=(1, 4))
-    decoded = events.map_batches(
-        DecodeFeatures,
-        fn_constructor_kwargs={"check_invariants": check_invariants},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=decode_concurrency,
-    )
+    if decode_concurrency is None:
+        # stateless tasks: warm worker processes are reused across tasks, so
+        # per-worker first-touch/warmup is paid once — a real model-loading
+        # decoder would instead pass concurrency=N for an actor pool
+        decoded = events.map_batches(
+            DecodeFeatures(check_invariants), batch_format="pyarrow", batch_size=2048
+        )
+    else:
+        decoded = events.map_batches(
+            DecodeFeatures,
+            fn_constructor_kwargs={"check_invariants": check_invariants},
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=decode_concurrency,
+        )
     gb = image_feature_group_by(table_path)
-    from ..functions.relational import distinct
-
     # backfill queries come from the RAW event scan (only image_id, ts leave
-    # storage) so the decode stage runs exactly once, for the right side
-    left = distinct(
-        ray.data.read_parquet(table_path, columns=["image_id", "ts"]),
-        ["image_id", "ts"],
-        num_buckets=num_buckets,
+    # storage) so decode runs exactly once; duplicate (image_id, ts) pairs are
+    # deduplicated inside the kernel's own co-partition shuffle — no separate
+    # DISTINCT exchange
+    left = ray.data.read_parquet(table_path, columns=["image_id", "ts"])
+    return features_for_queries(
+        gb, left, num_buckets=num_buckets, right_ds=decoded, dedupe_queries=True
     )
-    return features_for_queries(gb, left, num_buckets=num_buckets, right_ds=decoded)

@@ -54,16 +54,15 @@ def part_features(
     key_mapping = part.key_mapping or {}
     left_keys = [next((l for l, r in key_mapping.items() if r == k), k) for k in gb.key_columns]
 
-    from ..functions.relational import distinct
-
     qcols = list(dict.fromkeys(left_keys + ["ts"]))
-    # DISTINCT (keys, ts): hash-partitioned dedup (uniqSort analogue)
-    queries = distinct(left_ds.select_columns(qcols), qcols, num_buckets=num_buckets)
+    queries = left_ds.select_columns(qcols)
     if key_mapping:
         queries = queries.rename_columns(
             {l: r for l, r in key_mapping.items() if l in left_keys}
         )
-    feats = features_for_queries(gb, queries, num_buckets=num_buckets)
+    # DISTINCT (keys, ts) happens inside the kernel's co-partition shuffle
+    # (uniqSort analogue, GroupBy.scala:311) — no separate exchange
+    feats = features_for_queries(gb, queries, num_buckets=num_buckets, dedupe_queries=True)
     rename = {}
     for col in gb.output_columns():
         rename[col] = f"{part.full_prefix}{col}"

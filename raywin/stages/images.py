@@ -113,32 +113,58 @@ class DecodeFeatures:
     """
 
     def __init__(self, check_invariants: bool = True):
-        from functools import lru_cache
-
         self.check = check_invariants
-        self._pixels = lru_cache(maxsize=1 << 16)(make_pixels)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
+        fmts = np.asarray(batch["fmt"].to_pylist(), dtype=object)
         ids = batch["image_id"].to_pylist()
         n = len(blobs)
-        mean_lum = np.empty(n)
-        contrast = np.empty(n)
-        edge_energy = np.empty(n)
-        for i in range(n):
-            px = decode_image(blobs[i], fmts[i])
+        if n == 0:
+            out = batch.drop_columns(["bytes"])
+            for c in ("mean_lum", "contrast", "edge_energy"):
+                out = out.append_column(c, pa.array([], type=pa.float64()))
+            return out
+        # per-row decode (zlib), then batch-vectorized everything else
+        pixels = [decode_image(blobs[i], fmts[i]) for i in range(n)]
+        shapes = {p.shape for p in pixels}
+        if self.check:
+            if "caption" in batch.column_names:
+                caps = batch["caption"].to_pylist()
+                expected = make_captions_bulk(ids)
+                bad = next((i for i in range(n) if caps[i] != expected[i]), None)
+                assert bad is None, f"caption corrupted for {ids[bad]}"
+        if len(shapes) == 1:
+            px = np.stack(pixels)  # (n, h, w, 3)
             if self.check:
-                orig = self._pixels(ids[i], px.shape[1], px.shape[0])
-                p = psnr(orig, px)
-                if fmts[i] == "png":
-                    assert p == float("inf"), f"lossless decode mismatch for {ids[i]}"
-                else:
-                    assert p >= 40.0, f"PSNR {p:.1f} < 40 dB for {ids[i]}"
+                h, w = px.shape[1], px.shape[2]
+                orig = make_pixels_bulk(ids, w, h)
+                mse = np.mean(
+                    (orig.astype(np.float64) - px.astype(np.float64)) ** 2, axis=(1, 2, 3)
+                )
+                lossless = fmts == "png"
+                assert not mse[lossless].any(), "lossless decode mismatch"
+                lossy_mse = mse[~lossless]
+                if len(lossy_mse):
+                    p = 10.0 * np.log10(255.0**2 / np.maximum(lossy_mse, 1e-12))
+                    assert (p >= 40.0).all(), f"PSNR < 40 dB (min {p.min():.1f})"
             lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-            mean_lum[i] = lum.mean()
-            contrast[i] = lum.std()
-            edge_energy[i] = np.abs(np.diff(lum, axis=1)).mean()
+            mean_lum = lum.mean(axis=(1, 2))
+            contrast = lum.std(axis=(1, 2))
+            edge_energy = np.abs(np.diff(lum, axis=2)).mean(axis=(1, 2))
+        else:  # mixed sizes: per-row fallback
+            mean_lum = np.empty(n)
+            contrast = np.empty(n)
+            edge_energy = np.empty(n)
+            for i, p_ in enumerate(pixels):
+                if self.check:
+                    orig = make_pixels(ids[i], p_.shape[1], p_.shape[0])
+                    pv = psnr(orig, p_)
+                    assert pv == float("inf") if fmts[i] == "png" else pv >= 40.0
+                lum = 0.299 * p_[..., 0] + 0.587 * p_[..., 1] + 0.114 * p_[..., 2]
+                mean_lum[i] = lum.mean()
+                contrast[i] = lum.std()
+                edge_energy[i] = np.abs(np.diff(lum, axis=1)).mean()
         out = batch.drop_columns(["bytes"])  # payload does NOT ride further
         out = out.append_column("mean_lum", pa.array(mean_lum))
         out = out.append_column("contrast", pa.array(contrast))
@@ -158,16 +184,51 @@ _CAPTION_WORDS = (
 
 def make_pixels(image_id: str, w: int = 8, h: int = 8) -> np.ndarray:
     """Pixels are a pure function of image_id — lets any stage re-derive the
-    ground truth for invariant checks without shipping originals around."""
-    seed = int(pd.util.hash_array(np.array([image_id], dtype=object))[0]) & 0x7FFFFFFF
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    ground truth for invariant checks without shipping originals around.
+    splitmix64 counter stream: vectorized, ~10x cheaper than a Generator."""
+    from ..aggregator.sketches import splitmix64
+
+    seed = np.uint64(pd.util.hash_array(np.array([image_id], dtype=object))[0])
+    n = h * w * 3
+    with np.errstate(over="ignore"):
+        stream = splitmix64(np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B9) + seed)
+    return (stream & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
+
+
+def make_pixels_bulk(image_ids: list[str], w: int, h: int) -> np.ndarray:
+    """Vectorized make_pixels for a whole batch -> (n, h, w, 3) uint8."""
+    from ..aggregator.sketches import splitmix64
+
+    seeds = pd.util.hash_array(np.asarray(image_ids, dtype=object)).astype(np.uint64)
+    n = h * w * 3
+    with np.errstate(over="ignore"):
+        ctr = np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B9)
+        stream = splitmix64(ctr[None, :] + seeds[:, None])
+    return (stream & np.uint64(0xFF)).astype(np.uint8).reshape(len(image_ids), h, w, 3)
 
 
 def make_caption(image_id: str) -> str:
-    seed = int(pd.util.hash_array(np.array([image_id + "/cap"], dtype=object))[0])
-    rng = np.random.default_rng(seed & 0x7FFFFFFF)
-    return " ".join(rng.choice(_CAPTION_WORDS, 6))
+    from ..aggregator.sketches import splitmix64
+
+    seed = np.uint64(pd.util.hash_array(np.array([image_id + "/cap"], dtype=object))[0])
+    with np.errstate(over="ignore"):
+        idx = splitmix64(np.arange(6, dtype=np.uint64) + seed) % np.uint64(len(_CAPTION_WORDS))
+    return " ".join(_CAPTION_WORDS[int(i)] for i in idx)
+
+
+def make_captions_bulk(image_ids: list[str]) -> list[str]:
+    """Vectorized make_caption for a whole batch."""
+    from ..aggregator.sketches import splitmix64
+
+    seeds = pd.util.hash_array(
+        np.char.add(np.asarray(image_ids, dtype=str), "/cap").astype(object)
+    ).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        idx = splitmix64(np.arange(6, dtype=np.uint64)[None, :] + seeds[:, None]) % np.uint64(
+            len(_CAPTION_WORDS)
+        )
+    words = np.asarray(_CAPTION_WORDS, dtype=object)
+    return [" ".join(words[row]) for row in idx]
 
 
 def generate_image_events(

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..aggregator.npfast import cumsum1d
 from ..stages.shuffle import BUCKET_COL, AddBucket
 
 
@@ -54,7 +55,7 @@ class LagLead:
         df, new_key = _sorted_groups(group, self.key_cols, self.ts_col, self.tie_col)
         n = len(df)
         key_start = np.flatnonzero(new_key)  # first row index of each key segment
-        seg_id = np.cumsum(new_key) - 1
+        seg_id = cumsum1d(new_key) - 1
         seg_first = key_start[seg_id]  # per-row start of its segment
         seg_last = np.empty(n, dtype=np.int64)
         ends = np.append(key_start[1:], n) - 1
@@ -94,14 +95,14 @@ class Sessionize:
         gap[1:] = (ts[1:] - ts[:-1]) > self.gap_ms
         new_session = new_key | gap
         # session_id resets per key: cumcount of new_session minus value at key start
-        sess_cum = np.cumsum(new_session)
+        sess_cum = cumsum1d(new_session)
         key_start_idx = np.flatnonzero(new_key)
-        seg_id = np.cumsum(new_key) - 1
+        seg_id = cumsum1d(new_key) - 1
         sess_at_key_start = sess_cum[key_start_idx]
         df["session_id"] = (sess_cum - sess_at_key_start[seg_id]).astype(np.int64)
         # position within session
         sess_start = np.flatnonzero(new_session)
-        sid = np.cumsum(new_session) - 1
+        sid = cumsum1d(new_session) - 1
         df["session_event_seq"] = (np.arange(n) - sess_start[sid]).astype(np.int64)
         return df.drop(columns=[BUCKET_COL], errors="ignore")
 
