@@ -640,8 +640,9 @@ class PartitionAggregator:
         out = np.empty(nq, dtype=object)
         counts = rv - lv
         total_work = int(counts.sum())
-        if total_work <= 64 * max(nq, 1):
-            for i in range(nq):
+
+        def slice_exact(indices):
+            for i in indices:
                 a, b = int(lv[i]), int(rv[i])
                 if a >= b:
                     out[i] = None
@@ -652,9 +653,22 @@ class PartitionAggregator:
                 hi = np.minimum(lo + 1, len(v) - 1)
                 frac = pos - lo
                 out[i] = [float(x) for x in v[lo] * (1 - frac) + v[hi] * frac]
+
+        if total_work <= 64 * max(nq, 1):
+            slice_exact(range(nq))
             return out
         if total_work > 4_000_000:
-            return self._binned_percentiles(vals, lv, rv, pct, nq)
+            # hybrid: tiny windows exact (global-bin quantization would be
+            # coarse relative to a handful of values), big windows binned
+            small = counts <= 64
+            slice_exact(np.flatnonzero(small))
+            big_idx = np.flatnonzero(~small)
+            if len(big_idx):
+                binned = self._binned_percentiles(
+                    vals, lv[big_idx], rv[big_idx], pct, len(big_idx)
+                )
+                out[big_idx] = binned
+            return out
         # Fenwick sliding window over value ranks
         n = len(vals)
         order = np.argsort(vals, kind="stable")

@@ -177,6 +177,7 @@ def features_for_queries(
     head_rounding: int = 1,
     right_ds=None,
     dedupe_queries: bool = False,
+    hot_config=None,
 ):
     """Point-in-time features for every left (keys..., ts) row.
 
@@ -215,7 +216,29 @@ def features_for_queries(
         p.input_column: r_arrow.field(p.input_column).type for p in parts
     }
 
-    unified = unify_schemas(l_arrow, r_arrow, {SIDE_COL: pa.int8()})
+    tag_types = {SIDE_COL: pa.int8()}
+    use_hot = bool(hot_config) and len(group_by.key_columns) == 1
+    if use_hot:
+        from ..stages.shuffle import CHUNK_COL, HotChunkReplicate, HotChunkTag
+
+        tag_types[CHUNK_COL] = pa.int64()
+        bounded = [p.window.millis for p in parts if not p.window.unbounded]
+        has_unbounded = any(p.window.unbounded for p in parts)
+        hops = [resolution.tail_hop(p.window) for p in parts if not p.window.unbounded]
+        lookback = (max(bounded) + max(hops)) if bounded else 0
+        key_col = group_by.key_columns[0]
+        left_ds = left_ds.map_batches(
+            HotChunkTag(key_col, hot_config.keys, hot_config.chunk_ms),
+            batch_format="pyarrow",
+        )
+        right_ds = right_ds.map_batches(
+            HotChunkReplicate(
+                key_col, hot_config.keys, hot_config.chunk_ms, lookback,
+                hot_config.max_chunk, has_unbounded,
+            ),
+            batch_format="pyarrow",
+        )
+    unified = unify_schemas(l_arrow, r_arrow, tag_types)
 
     def tag(side_val):
         def fn(batch: pa.Table) -> pa.Table:

@@ -62,7 +62,15 @@ def image_feature_backfill(
     num_buckets: int = 64,
     check_invariants: bool = True,
     decode_concurrency=None,
+    handle_skew: bool = False,
 ):
+    """handle_skew=True turns on hot-key time-chunk replication
+    (stages/shuffle.py HotChunk*) — worth it when the scanned time span is
+    much longer than the max window, so a hot entity splits into many chunks
+    with bounded event replication.  When window ~ span (this bench's 30d/30d
+    dev slice) replication multiplies per-event kernel work faster than it
+    splits the straggler, so it stays off by default; correctness of the
+    chunked path is pinned by tests/test_hot_keys.py either way."""
     import ray.data
 
     events = ray.data.read_parquet(table_path)
@@ -87,6 +95,14 @@ def image_feature_backfill(
     # deduplicated inside the kernel's own co-partition shuffle — no separate
     # DISTINCT exchange
     left = ray.data.read_parquet(table_path, columns=["image_id", "ts"])
+    hot_config = None
+    if handle_skew:
+        from ..stages.shuffle import detect_hot_keys
+
+        hot_config = detect_hot_keys(
+            ray.data.read_parquet(table_path, columns=["image_id", "ts"]), "image_id"
+        )
     return features_for_queries(
-        gb, left, num_buckets=num_buckets, right_ds=decoded, dedupe_queries=True
+        gb, left, num_buckets=num_buckets, right_ds=decoded, dedupe_queries=True,
+        hot_config=hot_config,
     )

@@ -37,9 +37,16 @@ def stable_hash(columns: list[np.ndarray]) -> np.ndarray:
     return acc
 
 
+CHUNK_COL = "__chunk"
+
+
 class AddBucket:
-    """map_batches fn adding BUCKET_COL = hash(keys) % num_buckets
-    (optionally xor time-bucket of ``ts`` // time_bucket_ms)."""
+    """map_batches fn adding BUCKET_COL = hash(keys) % num_buckets.
+
+    When a CHUNK_COL is present (hot-key time chunking), rows with chunk >= 0
+    are bucketed by hash(keys, chunk) so a hot entity's chunks land on
+    different partitions (the time-bucket skew answer,
+    reference docs/source/window_tiling.md:381-390)."""
 
     def __init__(self, key_cols: list[str], num_buckets: int, time_bucket_ms: int | None = None):
         self.key_cols = key_cols
@@ -51,8 +58,123 @@ class AddBucket:
         if self.time_bucket_ms:
             tb = batch["ts"].to_numpy(zero_copy_only=False) // self.time_bucket_ms
             h = h * np.uint64(1000003) + tb.astype(np.uint64)
+        if CHUNK_COL in batch.column_names:
+            chunk = batch[CHUNK_COL].to_numpy(zero_copy_only=False)
+            hot = chunk >= 0
+            with np.errstate(over="ignore"):
+                h = np.where(
+                    hot, h * np.uint64(0x9E3779B97F4A7C15) + chunk.astype(np.uint64), h
+                )
         bucket = (h % np.uint64(self.num_buckets)).astype(np.int32)
         return batch.append_column(BUCKET_COL, pa.array(bucket))
+
+
+class HotChunkTag:
+    """Tag LEFT (query) rows of hot entities with their time chunk; cold rows
+    get chunk -1.  The hot-key set is small (heavy hitters only) and ships
+    inline with the UDF."""
+
+    def __init__(self, key_col: str, hot_keys, chunk_ms: int):
+        self.key_col = key_col
+        self.hot_arr = np.asarray(sorted(hot_keys), dtype=object)
+        self.chunk_ms = chunk_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(keys, self.hot_arr)
+        chunk = np.where(is_hot, ts // self.chunk_ms, -1).astype(np.int64)
+        return batch.append_column(CHUNK_COL, pa.array(chunk))
+
+
+class HotChunkReplicate:
+    """Replicate RIGHT (event) rows of hot entities into every time chunk
+    whose queries can see them: chunks from floor(ts/S) through
+    floor((ts + lookback)/S) — lookback = max bounded window + tail hop, or
+    every later chunk when an unbounded window is present."""
+
+    def __init__(self, key_col: str, hot_keys, chunk_ms: int, lookback_ms: int,
+                 max_chunk: int, unbounded: bool):
+        self.key_col = key_col
+        self.hot_arr = np.asarray(sorted(hot_keys), dtype=object)
+        self.chunk_ms = chunk_ms
+        self.lookback_ms = lookback_ms
+        self.max_chunk = max_chunk
+        self.unbounded = unbounded
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(keys, self.hot_arr)
+        cold = batch.filter(pa.array(~is_hot)).append_column(
+            CHUNK_COL, pa.array(np.full(int((~is_hot).sum()), -1, dtype=np.int64))
+        )
+        hot_tbl = batch.filter(pa.array(is_hot))
+        if len(hot_tbl) == 0:
+            return cold
+        hts = hot_tbl["ts"].to_numpy(zero_copy_only=False)
+        first = hts // self.chunk_ms
+        if self.unbounded:
+            last = np.full_like(first, self.max_chunk)
+        else:
+            last = np.minimum((hts + self.lookback_ms) // self.chunk_ms, self.max_chunk)
+        counts = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(hot_tbl)), counts)
+        offsets = np.repeat(first, counts) + _seq_within(counts)
+        rep = hot_tbl.take(pa.array(idx)).append_column(
+            CHUNK_COL, pa.array(offsets.astype(np.int64))
+        )
+        return pa.concat_tables([cold, rep], promote_options="default")
+
+
+class HotKeyConfig:
+    """Heavy-hitter handling config: which keys are hot, the time-chunk span,
+    and the max chunk id (from the data's ts range)."""
+
+    def __init__(self, keys, chunk_ms: int, ts_max: int):
+        self.keys = set(keys)
+        self.chunk_ms = int(chunk_ms)
+        self.max_chunk = int(ts_max) // int(chunk_ms)
+
+    def __bool__(self):
+        return bool(self.keys)
+
+
+def detect_hot_keys(
+    ds,
+    key_col: str,
+    sample_fraction: float = 0.05,
+    hot_fraction: float = 0.02,
+    n_chunks: int = 8,
+    seed: int = 7,
+) -> HotKeyConfig:
+    """Sampled heavy-hitter scan (the reference Analyzer's FrequentItems
+    analogue, spark/.../Analyzer.scala:116-190): one cheap pass over
+    (key, ts) columns; keys holding > hot_fraction of sampled rows are hot.
+    Returns a HotKeyConfig whose chunk span divides the observed ts range
+    into n_chunks."""
+    sample = (
+        ds.select_columns([key_col, "ts"])
+        .random_sample(sample_fraction, seed=seed)
+        .to_pandas()
+    )
+    if len(sample) == 0:
+        return HotKeyConfig(set(), 1, 0)
+    counts = sample[key_col].value_counts(normalize=True)
+    hot = set(counts[counts > hot_fraction].index)
+    ts_min, ts_max = int(sample["ts"].min()), int(sample["ts"].max())
+    chunk_ms = max(1, (ts_max - ts_min) // n_chunks + 1)
+    return HotKeyConfig(hot, chunk_ms, ts_max + chunk_ms)
+
+
+def _seq_within(counts: np.ndarray) -> np.ndarray:
+    """[0,1,..c0-1, 0,1,..c1-1, ...] for the given counts."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total) - np.repeat(starts, counts)
 
 
 def pad_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
