@@ -74,19 +74,19 @@ def run_benchmarks():
         # then min-of-3 timed runs: this sandbox's wall times carry ±40%
         # one-sided slowdown noise, and min is the robust estimator of the
         # true compute+shuffle time
-        image_feature_backfill(img_dir, num_buckets=128).count()
+        image_feature_backfill(img_dir).count()
         best = None
         n_feat = 0
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
-            n_feat = image_feature_backfill(img_dir, num_buckets=128).count()
+            n_feat = image_feature_backfill(img_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings["image_backfill"] = round(best, 3)
     else:
         n_feat = timed(
             "image_backfill",
-            lambda: image_feature_backfill(img_dir, num_buckets=128).count(),
+            lambda: image_feature_backfill(img_dir).count(),
         )
     extra["feature_rows"] = n_feat
     extra["feature_rows_per_sec"] = round(n_feat / timings["image_backfill"], 1)

@@ -59,10 +59,11 @@ def image_feature_group_by(table_path: str) -> GroupBy:
 
 def image_feature_backfill(
     table_path: str,
-    num_buckets: int = 64,
+    num_buckets: int = 32,
     check_invariants: bool = True,
     decode_concurrency=None,
     handle_skew: bool = False,
+    read_blocks: int | None = 32,
 ):
     """handle_skew=True turns on hot-key time-chunk replication
     (stages/shuffle.py HotChunk*) — worth it when the scanned time span is
@@ -73,20 +74,23 @@ def image_feature_backfill(
     chunked path is pinned by tests/test_hot_keys.py either way."""
     import ray.data
 
-    events = ray.data.read_parquet(table_path)
+    # coarse blocks: per-task scheduling is expensive in this sandbox, and a
+    # 100 TB deployment wants ~100-500 MB blocks anyway (tune via
+    # DataContext.target_max_block_size / override_num_blocks)
+    events = ray.data.read_parquet(table_path, override_num_blocks=read_blocks)
     if decode_concurrency is None:
         # stateless tasks: warm worker processes are reused across tasks, so
         # per-worker first-touch/warmup is paid once — a real model-loading
         # decoder would instead pass concurrency=N for an actor pool
         decoded = events.map_batches(
-            DecodeFeatures(check_invariants), batch_format="pyarrow", batch_size=2048
+            DecodeFeatures(check_invariants), batch_format="pyarrow", batch_size=8192
         )
     else:
         decoded = events.map_batches(
             DecodeFeatures,
             fn_constructor_kwargs={"check_invariants": check_invariants},
             batch_format="pyarrow",
-            batch_size=2048,
+            batch_size=8192,
             concurrency=decode_concurrency,
         )
     gb = image_feature_group_by(table_path)
@@ -94,7 +98,9 @@ def image_feature_backfill(
     # storage) so decode runs exactly once; duplicate (image_id, ts) pairs are
     # deduplicated inside the kernel's own co-partition shuffle — no separate
     # DISTINCT exchange
-    left = ray.data.read_parquet(table_path, columns=["image_id", "ts"])
+    left = ray.data.read_parquet(
+        table_path, columns=["image_id", "ts"], override_num_blocks=read_blocks
+    )
     hot_config = None
     if handle_skew:
         from ..stages.shuffle import detect_hot_keys
