@@ -1,0 +1,161 @@
+"""Temporal/snapshot entity pipelines vs a brute-force oracle over
+hand-generated CDC timelines (mirrors MutationsTest.scala:74-134)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raywin.api import Accuracy, Aggregation, EntitySource, GroupBy, Operation, Query
+from raywin.pipelines.entities import snapshot_entity_features, temporal_entity_features
+
+DAY = 86400000
+BASE = pd.Timestamp("2024-03-01").value // 1_000_000
+
+
+@pytest.fixture(scope="module")
+def entity_tables(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    root = tmp_path_factory.mktemp("ent")
+    n_keys, n_days = 12, 4
+    snap_rows = []
+    mut_rows = []
+    # per (key, day): snapshot holds the rating rows as of that day's END;
+    # during each day mutations insert/update/delete
+    state: dict[str, list[float]] = {str(k): [float(rng.integers(1, 50))] for k in range(n_keys)}
+    for d in range(n_days):
+        day_start = BASE + d * DAY
+        # mutations during day d — timestamps drawn sorted so the CDC
+        # timeline matches the state-evolution order
+        for k in list(state):
+            n_mut = rng.integers(0, 4)
+            mts_list = sorted(int(day_start + t) for t in rng.integers(0, DAY, n_mut))
+            for mts in mts_list:
+                action = rng.choice(["insert", "update", "delete"])
+                vals = state[k]
+                if action == "insert" or not vals:
+                    v = float(rng.integers(1, 50))
+                    mut_rows.append((k, v, mts, mts, False))
+                    vals.append(v)
+                elif action == "update":
+                    i = rng.integers(0, len(vals))
+                    old = vals[i]
+                    new = float(rng.integers(1, 50))
+                    mut_rows.append((k, old, mts, mts, True))
+                    mut_rows.append((k, new, mts, mts, False))
+                    vals[i] = new
+                else:
+                    i = rng.integers(0, len(vals))
+                    mut_rows.append((k, vals.pop(i), mts, mts, True))
+        # end-of-day snapshot
+        ds = pd.Timestamp(day_start, unit="ms").strftime("%Y-%m-%d")
+        for k, vals in state.items():
+            for v in vals:
+                snap_rows.append((k, v, ds))
+
+    snaps = pa.table(
+        {
+            "k": pa.array([r[0] for r in snap_rows]),
+            "rating": pa.array([r[1] for r in snap_rows]),
+            "ds": pa.array([r[2] for r in snap_rows]),
+        }
+    )
+    muts = pa.table(
+        {
+            "k": pa.array([r[0] for r in mut_rows]),
+            "rating": pa.array([r[1] for r in mut_rows]),
+            "ts": pa.array([r[2] for r in mut_rows], type=pa.int64()),
+            "mutation_ts": pa.array([r[3] for r in mut_rows], type=pa.int64()),
+            "is_before": pa.array([r[4] for r in mut_rows]),
+        }
+    )
+    pq.write_table(snaps, str(root / "snaps.parquet"))
+    pq.write_table(muts, str(root / "muts.parquet"))
+    return str(root / "snaps.parquet"), str(root / "muts.parquet"), snap_rows, mut_rows
+
+
+def _gb(snap_path, mut_path):
+    return GroupBy(
+        sources=[EntitySource(snapshot_table=snap_path, mutation_table=mut_path, query=Query())],
+        key_columns=["k"],
+        aggregations=[
+            Aggregation(Operation.SUM, "rating"),
+            Aggregation(Operation.COUNT, "rating"),
+            Aggregation(Operation.AVERAGE, "rating"),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="ent",
+    )
+
+
+def brute_force(snap_rows, mut_rows, k, q_ts):
+    day = (q_ts // DAY) * DAY
+    prev_ds = pd.Timestamp(day - DAY, unit="ms").strftime("%Y-%m-%d")
+    vals = [v for kk, v, ds in snap_rows if kk == k and ds == prev_ds]
+    s = sum(vals)
+    c = len(vals)
+    for kk, v, ts, mts, before in mut_rows:
+        if kk == k and day <= mts < q_ts:
+            if before:
+                s -= v
+                c -= 1
+            else:
+                s += v
+                c += 1
+    return (s if c else None), (c if c else None)
+
+
+def test_temporal_entities(ray_session, entity_tables):
+    import ray.data
+
+    snap_path, mut_path, snap_rows, mut_rows = entity_tables
+    rng = np.random.default_rng(9)
+    n_q = 200
+    qk = rng.integers(0, 12, n_q).astype(str)
+    # queries on days 1..3 (day 0 has no previous snapshot)
+    qts = BASE + DAY + rng.integers(0, 3 * DAY, n_q)
+    # exact-tie cases: query at a mutation_ts must exclude that mutation
+    for i in range(10):
+        k, v, ts, mts, before = mut_rows[i * 3 % len(mut_rows)]
+        if mts >= BASE + DAY:
+            qk[i] = k
+            qts[i] = mts
+    left = ray.data.from_pandas(pd.DataFrame({"k": qk, "ts": qts}))
+    out = temporal_entity_features(_gb(snap_path, mut_path), left, num_buckets=4).to_pandas()
+    assert len(out) == n_q
+    got = {(r["k"], int(r["ts"])): r for _, r in out.iterrows()}
+    for k, t in zip(qk, qts):
+        s, c = brute_force(snap_rows, mut_rows, k, int(t))
+        row = got[(k, int(t))]
+        gs, gc, ga = row["rating_sum"], row["rating_count"], row["rating_average"]
+        if s is None:
+            assert np.isnan(gs) and np.isnan(gc), (k, t, gs, s)
+        else:
+            assert np.isclose(gs, s), (k, t, gs, s)
+            assert gc == c
+            assert np.isclose(ga, s / c)
+
+
+def test_snapshot_entities(ray_session, entity_tables):
+    snap_path, mut_path, snap_rows, _ = entity_tables
+    gb = GroupBy(
+        sources=[EntitySource(snapshot_table=snap_path, query=Query())],
+        key_columns=["k"],
+        aggregations=[
+            Aggregation(Operation.SUM, "rating"),
+            Aggregation(Operation.MAX, "rating"),
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+        name="snap_ent",
+    )
+    out = snapshot_entity_features(gb, num_buckets=4).to_pandas()
+    df = pd.DataFrame(snap_rows, columns=["k", "rating", "ds"])
+    oracle = df.groupby(["k", "ds"]).agg(
+        rating_sum=("rating", "sum"), rating_max=("rating", "max")
+    ).reset_index()
+    merged = oracle.merge(out, on=["k", "ds"], suffixes=("_o", "_g"))
+    assert len(merged) == len(oracle) == len(out)
+    assert np.allclose(merged["rating_sum_o"], merged["rating_sum_g"])
+    assert np.allclose(merged["rating_max_o"], merged["rating_max_g"])
