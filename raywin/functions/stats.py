@@ -1,0 +1,119 @@
+"""Analyzer / data-quality statistics over Datasets.
+
+Mirrors the reference's StatsGenerator / Analyzer surface
+(aggregator/.../row/StatsGenerator.scala:66-187, spark/.../Analyzer.scala:116-190):
+per-column null counts + moments + percentile series via mergeable sketches,
+heavy-hitter detection (stages/shuffle.detect_hot_keys), and distribution
+drift between two datasets (PSI / Hellinger, StatsGenerator.scala:134-174).
+
+All computed with map-side partials: one tiny row per (batch, column) rides
+the shuffle, never the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..aggregator.sketches import QuantileSketch
+
+
+def summary_stats(ds, columns: list[str], percentiles=(0.25, 0.5, 0.75, 0.95)):
+    """Per-column summary: rows, nulls, mean, std(population), min, max +
+    approx percentiles.  Returns a small pandas DataFrame (one row/column)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for col in columns:
+            arr = batch[col].to_numpy(zero_copy_only=False)
+            if arr.dtype.kind in "if":
+                valid = arr[~pd.isna(arr)]
+            else:
+                valid = arr[pd.notna(arr)]
+            n = len(arr)
+            nn = len(valid)
+            numeric = valid.astype(np.float64) if nn and str(valid.dtype) != "object" else None
+            if numeric is None and nn:
+                try:
+                    numeric = valid.astype(np.float64)
+                except (ValueError, TypeError):
+                    numeric = None
+            sk = QuantileSketch(128)
+            if numeric is not None and nn:
+                sk.add_many(numeric)
+                s, s2 = float(numeric.sum()), float((numeric**2).sum())
+                mn, mx = float(numeric.min()), float(numeric.max())
+            else:
+                s = s2 = 0.0
+                mn, mx = np.inf, -np.inf
+            rows.append(
+                {
+                    "column": col,
+                    "rows": n,
+                    "nulls": n - nn,
+                    "sum": s,
+                    "sum_sq": s2,
+                    "min": mn,
+                    "max": mx,
+                    "sketch": sk.to_bytes(),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for col, g in parts.groupby("column"):
+        rows = int(g["rows"].sum())
+        nulls = int(g["nulls"].sum())
+        nn = rows - nulls
+        sk = QuantileSketch(128)
+        for blob in g["sketch"]:
+            sk.merge_in(QuantileSketch.from_bytes(blob))
+        s, s2 = g["sum"].sum(), g["sum_sq"].sum()
+        mean = s / nn if nn else np.nan
+        var = s2 / nn - mean * mean if nn else np.nan
+        rec = {
+            "column": col,
+            "rows": rows,
+            "nulls": nulls,
+            "null_rate": nulls / rows if rows else np.nan,
+            "mean": mean,
+            "std": np.sqrt(max(var, 0.0)) if nn else np.nan,
+            "min": g["min"].min() if nn else np.nan,
+            "max": g["max"].max() if nn else np.nan,
+        }
+        for p in percentiles:
+            rec[f"p{int(p * 100)}"] = sk.quantile(p)
+        out.append(rec)
+    return pd.DataFrame(out).sort_values("column").reset_index(drop=True)
+
+
+def _histogram(ds, column: str, edges: np.ndarray) -> np.ndarray:
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        arr = arr[~np.isnan(arr)]
+        counts, _ = np.histogram(arr, bins=edges)
+        return pa.table({"bin": np.arange(len(counts)), "cnt": counts})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby("bin")["cnt"].sum().reindex(range(len(edges) - 1), fill_value=0).to_numpy()
+
+
+def drift(ds_a, ds_b, column: str, bins: int = 20) -> dict:
+    """Distribution drift between two datasets on a numeric column:
+    PSI (population stability index) and Hellinger distance
+    (StatsGenerator.scala:134-174 equivalents)."""
+    probe = summary_stats(ds_a, [column], percentiles=(0.01, 0.99)).iloc[0]
+    lo, hi = probe["p1"], probe["p99"]
+    if not np.isfinite(lo) or not np.isfinite(hi) or lo == hi:
+        lo, hi = probe["min"], probe["max"] + 1e-9
+    edges = np.linspace(lo, hi, bins + 1)
+    edges[0], edges[-1] = -np.inf, np.inf
+    ha = _histogram(ds_a, column, edges).astype(np.float64)
+    hb = _histogram(ds_b, column, edges).astype(np.float64)
+    pa_ = np.maximum(ha / max(ha.sum(), 1), 1e-6)
+    pb_ = np.maximum(hb / max(hb.sum(), 1), 1e-6)
+    psi = float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
+    hellinger = float(np.sqrt(0.5 * np.sum((np.sqrt(pa_) - np.sqrt(pb_)) ** 2)))
+    return {"psi": psi, "hellinger": hellinger, "bins": bins}

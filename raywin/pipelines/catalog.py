@@ -714,7 +714,182 @@ def image_backfill_small(sf_dir: str):
     return image_feature_backfill(path, num_buckets=8)
 
 
+def staging_query_revenue(sf_dir: str):
+    from .staging import StagingQuery, run_staging_query
+
+    sq = StagingQuery(
+        name="daily_revenue",
+        query="""
+            SELECT o_orderdate, count(*) AS n_orders, sum(o_totalprice) AS revenue
+            FROM orders
+            WHERE o_orderdate >= DATE '{{ start_date }}'
+              AND o_orderdate < DATE '{{ end_date }}'
+            GROUP BY o_orderdate
+        """,
+    )
+    return run_staging_query(
+        sq, "1995-01-01", "1996-01-01", {"orders": f"{sf_dir}/orders.parquet"}
+    )
+
+
+STAGING_SQL = """
+SELECT o_orderdate, count(*) AS n_orders, sum(o_totalprice) AS revenue
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY o_orderdate
+"""
+
+
+def summary_stats_lineitem(sf_dir: str):
+    import ray.data
+
+    from ..functions.stats import summary_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    out = summary_stats(ds, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out[["column", "rows", "nulls", "mean", "min", "max"]]
+
+
+SUMMARY_STATS_SQL = """
+SELECT col AS column, CAST(rows AS BIGINT) AS rows, CAST(nulls AS BIGINT) AS nulls,
+       mean, "min", "max"
+FROM (
+  SELECT 'l_quantity' AS col, count(*) AS rows, count(*) - count(l_quantity) AS nulls,
+         avg(l_quantity) AS mean, min(l_quantity) AS "min", max(l_quantity) AS "max"
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+         avg(l_extendedprice), min(l_extendedprice), max(l_extendedprice) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*), count(*) - count(l_discount),
+         avg(l_discount), min(l_discount), max(l_discount) FROM lineitem
+)
+"""
+
+
+def _entity_fixture(tmp_dir="/tmp/raywin_entities"):
+    """Deterministic snapshot+mutation fixture (FIXTURES.md F3 shape)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    snap_path = os.path.join(tmp_dir, "snaps.parquet")
+    mut_path = os.path.join(tmp_dir, "muts.parquet")
+    if os.path.exists(snap_path) and os.path.exists(mut_path):
+        return snap_path, mut_path
+    os.makedirs(tmp_dir, exist_ok=True)
+    rng = np.random.default_rng(21)
+    base = pd.Timestamp("2024-03-01").value // 1_000_000
+    state = {str(k): [float(rng.integers(1, 50))] for k in range(30)}
+    snap_rows, mut_rows = [], []
+    for d in range(5):
+        day_start = base + d * DAY
+        for k in list(state):
+            n_mut = rng.integers(0, 4)
+            for mts in sorted(int(day_start + t) for t in rng.integers(0, DAY, n_mut)):
+                vals = state[k]
+                action = rng.choice(["insert", "update", "delete"])
+                if action == "insert" or not vals:
+                    v = float(rng.integers(1, 50))
+                    mut_rows.append((k, v, mts, mts, False))
+                    vals.append(v)
+                elif action == "update":
+                    i = rng.integers(0, len(vals))
+                    mut_rows.append((k, vals[i], mts, mts, True))
+                    new = float(rng.integers(1, 50))
+                    mut_rows.append((k, new, mts, mts, False))
+                    vals[i] = new
+                else:
+                    i = rng.integers(0, len(vals))
+                    mut_rows.append((k, vals.pop(i), mts, mts, True))
+        ds_label = pd.Timestamp(day_start, unit="ms").strftime("%Y-%m-%d")
+        for k, vals in state.items():
+            for v in vals:
+                snap_rows.append((k, v, ds_label))
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in snap_rows]),
+                "rating": pa.array([r[1] for r in snap_rows]),
+                "ds": pa.array([r[2] for r in snap_rows]),
+            }
+        ),
+        snap_path,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in mut_rows]),
+                "rating": pa.array([r[1] for r in mut_rows]),
+                "ts": pa.array([r[2] for r in mut_rows], type=pa.int64()),
+                "mutation_ts": pa.array([r[3] for r in mut_rows], type=pa.int64()),
+                "is_before": pa.array([r[4] for r in mut_rows]),
+            }
+        ),
+        mut_path,
+    )
+    return snap_path, mut_path
+
+
+def temporal_entities_demo(sf_dir: str):
+    """PITC aggregation over mutable entities (CDC reversals) — deterministic
+    fixture; correctness pinned by tests/test_entities.py brute-force oracle."""
+    import ray.data
+
+    from ..api import Accuracy, EntitySource
+    from .entities import temporal_entity_features
+
+    snap_path, mut_path = _entity_fixture()
+    gb = GroupBy(
+        sources=[EntitySource(snapshot_table=snap_path, mutation_table=mut_path, query=Query())],
+        key_columns=["k"],
+        aggregations=[
+            Aggregation(Operation.SUM, "rating"),
+            Aggregation(Operation.COUNT, "rating"),
+            Aggregation(Operation.AVERAGE, "rating"),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="ent_demo",
+    )
+    base = pd.Timestamp("2024-03-02").value // 1_000_000
+    rng = np.random.default_rng(33)
+    left = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 30, 500).astype(str),
+                "ts": base + rng.integers(0, 4 * DAY, 500),
+            }
+        )
+    )
+    return temporal_entity_features(gb, left, num_buckets=4)
+
+
+def drift_stats_demo(sf_dir: str):
+    """Distribution drift (PSI + Hellinger) between two halves of events."""
+    import ray.data
+
+    from ..functions.stats import drift
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def _half(parity):
+        def fn(batch: pa.Table) -> pa.Table:
+            ev = batch["event_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ev % 2 == parity))
+
+        return fn
+
+    a = ds.map_batches(_half(0), batch_format="pyarrow")
+    b = ds.map_batches(_half(1), batch_format="pyarrow")
+    out = drift(a, b, "value", bins=16)
+    return pd.DataFrame([out])
+
+
 ORACLE_QUERIES = {
+    "staging_query": (staging_query_revenue, STAGING_SQL),
+    "summary_stats": (summary_stats_lineitem, SUMMARY_STATS_SQL),
     "asof_core": (asof_core, ASOF_CORE_SQL),
     "asof_timed": (asof_timed, ASOF_TIMED_SQL),
     "asof_moments": (asof_moments, ASOF_MOMENTS_SQL),
@@ -733,6 +908,8 @@ ORACLE_QUERIES = {
 }
 
 ROWS_ONLY_QUERIES = {
+    "temporal_entities": temporal_entities_demo,
+    "drift_stats": drift_stats_demo,
     "minhash_clusters": minhash_clusters_docs,
     "simhash_docs": simhash_docs,
     "langid_quality": langid_docs,
