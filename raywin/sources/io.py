@@ -44,6 +44,23 @@ def scan_source(source, extra_columns: list[str] | None = None) -> "ray.data.Dat
     else:
         path, query = source.table, source.query
     schema = table_schema(path)
+    cumulative_filter = None
+    if getattr(source, "is_cumulative", False) and "ds" in schema.names:
+        # cumulative event tables: the latest ds partition carries the full
+        # history — scan only it (reference renderDataSourceQuery handling of
+        # isCumulative, GroupBy.scala:639-660)
+        import pyarrow.dataset as pads
+
+        latest = pads.dataset(path, format="parquet").to_table(columns=["ds"])
+        max_ds = max(latest["ds"].to_pylist())
+        cumulative_filter = f"ds = '{max_ds}'"
+        query = Query(
+            selects=query.selects,
+            wheres=(query.wheres or []) + [cumulative_filter],
+            time_column=query.time_column,
+            start_partition=query.start_partition,
+            end_partition=query.end_partition,
+        )
     if query.selects is None and query.time_column is None and not query.wheres:
         cols = extra_columns if extra_columns else None
         return read_table(path, cols)
