@@ -89,10 +89,19 @@ def backfill_join(join: Join, num_buckets: int = 64, materialize_intermediates: 
     left_cols = None
     from ..functions.relational import bucketed_left_join
 
-    for part in join.join_parts:
-        feats, left_keys = part_features(part, left, num_buckets)
-        if materialize_intermediates:
-            feats = feats.materialize()
+    part_tables = [part_features(part, left, num_buckets) for part in join.join_parts]
+    if materialize_intermediates and len(part_tables) > 1:
+        # materialize part tables concurrently — they are independent DAGs
+        # (the reference's per-JoinPart thread pool, Join.scala:292-296)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(part_tables))) as pool:
+            mats = list(pool.map(lambda fk: fk[0].materialize(), part_tables))
+        part_tables = [(m, fk[1]) for m, fk in zip(mats, part_tables)]
+    elif materialize_intermediates:
+        part_tables = [(f.materialize(), k) for f, k in part_tables]
+
+    for feats, left_keys in part_tables:
         join_keys = list(dict.fromkeys(left_keys + ["ts"]))
         out = bucketed_left_join(out, feats, join_keys, num_buckets=num_buckets, how="left")
     if join.derivations:
