@@ -504,6 +504,8 @@ def make_scalar_op(part: AggregationPart) -> ScalarOp:
         return BoundedUniqueCount(int(k) if k else 8)
     if op is Operation.HISTOGRAM:
         return Histogram(int(k) if k else 0)
+    if op is Operation.APPROX_HISTOGRAM_K:
+        return Histogram(int(k) if k else 8)
     if op is Operation.APPROX_UNIQUE_COUNT:
         lgk = part.arg("lgk")
         return ApproxUniqueCount(int(lgk) if lgk else 8)

@@ -83,6 +83,10 @@ class Operation(str, Enum):
     UNIQUE_COUNT = "unique_count"
     APPROX_UNIQUE_COUNT = "approx_unique_count"
     BOUNDED_UNIQUE_COUNT = "bounded_unique_count"
+    # exact map below k keys, top-k-truncated above (the reference's hybrid
+    # exact->ItemsSketch APPROX_HISTOGRAM_K, SimpleAggregators.scala:459-601;
+    # here the IR stays an exact map and truncation happens at finalize)
+    APPROX_HISTOGRAM_K = "approx_histogram_k"
     VARIANCE = "variance"
     SKEW = "skew"
     KURTOSIS = "kurtosis"

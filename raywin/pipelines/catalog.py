@@ -887,9 +887,34 @@ def drift_stats_demo(sf_dir: str):
     return pd.DataFrame([out])
 
 
+def session_stats_30m(sf_dir: str):
+    from ..stages.sequence import sessionize
+
+    ds = _events_ds(sf_dir, ["event_id", "user_id", "ts"]).map_batches(
+        lambda df: df.assign(ts=df["ts"].astype("int64") // 1000), batch_format="pandas"
+    )
+    return sessionize(ds, ["user_id"], gap_ms=30 * 60 * 1000, tie_col="event_id",
+                      num_buckets=N_BUCKETS, output="sessions")
+
+
+SESSION_STATS_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 1800000
+                     THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM x)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+  min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events, max(ts) - min(ts) AS duration_ms
+FROM y GROUP BY user_id, sid
+"""
+
+
 ORACLE_QUERIES = {
     "staging_query": (staging_query_revenue, STAGING_SQL),
     "summary_stats": (summary_stats_lineitem, SUMMARY_STATS_SQL),
+    "session_stats": (session_stats_30m, SESSION_STATS_SQL),
     "asof_core": (asof_core, ASOF_CORE_SQL),
     "asof_timed": (asof_timed, ASOF_TIMED_SQL),
     "asof_moments": (asof_moments, ASOF_MOMENTS_SQL),

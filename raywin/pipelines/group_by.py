@@ -56,7 +56,7 @@ def output_type(part: AggregationPart, input_type: pa.DataType) -> pa.DataType:
         base = pa.float64()
     elif op is Operation.SUM:
         base = pa.int64() if pa.types.is_integer(input_type) else pa.float64()
-    elif op is Operation.HISTOGRAM:
+    elif op in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
         base = pa.map_(pa.string(), pa.int64())
     elif op is Operation.APPROX_PERCENTILE:
         base = pa.list_(pa.float64())

@@ -78,14 +78,17 @@ class LagLead:
 
 class Sessionize:
     """map_groups fn: adds session_id (0-based per key) and session_event_seq
-    (0-based position within the session)."""
+    (0-based position within the session).  With output="sessions", emits one
+    row per session instead: keys + session_id + session_start / session_end /
+    n_events / duration_ms."""
 
-    def __init__(self, key_cols, gap_ms: int, ts_col="ts", tie_col=None):
+    def __init__(self, key_cols, gap_ms: int, ts_col="ts", tie_col=None, output="events"):
         self.__name__ = "Sessionize"
         self.key_cols = key_cols
         self.gap_ms = gap_ms
         self.ts_col = ts_col
         self.tie_col = tie_col
+        self.output = output
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         df, new_key = _sorted_groups(group, self.key_cols, self.ts_col, self.tie_col)
@@ -104,6 +107,15 @@ class Sessionize:
         sess_start = np.flatnonzero(new_session)
         sid = cumsum1d(new_session) - 1
         df["session_event_seq"] = (np.arange(n) - sess_start[sid]).astype(np.int64)
+        if self.output == "sessions":
+            starts = np.flatnonzero(new_session)
+            ends = np.append(starts[1:], n) - 1
+            out = df.iloc[starts][list(self.key_cols) + ["session_id"]].reset_index(drop=True)
+            out["session_start"] = ts[starts]
+            out["session_end"] = ts[ends]
+            out["n_events"] = (ends - starts + 1).astype(np.int64)
+            out["duration_ms"] = (ts[ends] - ts[starts]).astype(np.int64)
+            return out
         return df.drop(columns=[BUCKET_COL], errors="ignore")
 
 
@@ -117,6 +129,6 @@ def lag_lead(ds, key_cols, value_cols, lags=(1,), leads=(1,), ts_col="ts", tie_c
     return _bucketed_map_groups(ds, key_cols, fn, num_buckets)
 
 
-def sessionize(ds, key_cols, gap_ms, ts_col="ts", tie_col=None, num_buckets=64):
-    fn = Sessionize(key_cols, gap_ms, ts_col, tie_col)
+def sessionize(ds, key_cols, gap_ms, ts_col="ts", tie_col=None, num_buckets=64, output="events"):
+    fn = Sessionize(key_cols, gap_ms, ts_col, tie_col, output)
     return _bucketed_map_groups(ds, key_cols, fn, num_buckets)
