@@ -44,10 +44,16 @@ def _skew_filter(ds, skew_keys: dict[str, list[str]] | None):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+SMALL_MODE_CUTOFF = 100_000  # distinct left keys; reference uses 5000 rows for
+# literal IN-injection and 1M for bloom (TableUtils.scala:349-357) — here the
+# broadcast is an exact key set filtered vectorized per batch
+
+
 def part_features(
     part: JoinPart,
     left_ds,
     num_buckets: int = 64,
+    prune_right: bool = True,
 ):
     """Feature table for one JoinPart keyed by the LEFT's column names + ts."""
     gb = part.group_by
@@ -60,9 +66,42 @@ def part_features(
         queries = queries.rename_columns(
             {l: r for l, r in key_mapping.items() if l in left_keys}
         )
+    right_ds = None
+    if prune_right and len(gb.key_columns) == 1:
+        # small mode: when the left key space is small, broadcast it and
+        # semi-join-filter the right scan BEFORE the shuffle
+        # (reference key-injection / bloom pruning, Join.scala:306-341)
+        kcol = gb.key_columns[0]
+        keys_df = queries.select_columns([kcol]).unique(kcol)
+        if isinstance(keys_df, list):
+            key_vals = keys_df
+        else:  # older API returns Dataset
+            key_vals = [r[kcol] for r in keys_df.take_all()]
+        if len(key_vals) <= SMALL_MODE_CUTOFF:
+            import numpy as np
+            import pyarrow as pa
+            import ray
+
+            from .group_by import events_dataset
+
+            key_arr_ref = ray.put(np.asarray(sorted(key_vals), dtype=object))
+
+            class SemiFilter:
+                def __init__(self):
+                    self.keys = ray.get(key_arr_ref)
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    vals = batch[kcol].to_numpy(zero_copy_only=False)
+                    return batch.filter(pa.array(np.isin(vals, self.keys)))
+
+            right_ds = events_dataset(gb).map_batches(
+                SemiFilter, batch_format="pyarrow", concurrency=(1, 8)
+            )
     # DISTINCT (keys, ts) happens inside the kernel's co-partition shuffle
     # (uniqSort analogue, GroupBy.scala:311) — no separate exchange
-    feats = features_for_queries(gb, queries, num_buckets=num_buckets, dedupe_queries=True)
+    feats = features_for_queries(
+        gb, queries, num_buckets=num_buckets, dedupe_queries=True, right_ds=right_ds
+    )
     rename = {}
     for col in gb.output_columns():
         rename[col] = f"{part.full_prefix}{col}"
