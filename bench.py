@@ -30,8 +30,13 @@ BENCH_IMG_ROWS = int(os.environ.get("RAYWIN_BENCH_IMG_ROWS", "1000000"))
 def ensure_bench_images():
     from raywin.stages.images import generate_image_events
 
-    marker = os.path.join(BENCH_IMG_DIR, f"part-0015.parquet")
-    if not os.path.exists(marker):
+    from raywin.stages.images import cache_is_current
+
+    marker = os.path.join(BENCH_IMG_DIR, "part-0015.parquet")
+    if not (os.path.exists(marker) and cache_is_current(BENCH_IMG_DIR)):
+        import shutil
+
+        shutil.rmtree(BENCH_IMG_DIR, ignore_errors=True)
         generate_image_events(
             BENCH_IMG_DIR, n_rows=BENCH_IMG_ROWS, n_entities=BENCH_IMG_ROWS // 40,
             files=16, skew=1.2,

@@ -708,8 +708,13 @@ def image_backfill_small(sf_dir: str):
     from ..stages.images import generate_image_events
     from .images import image_feature_backfill
 
+    from ..stages.images import cache_is_current
+
     path = "/tmp/raywin_img_small"
-    if not os.path.exists(os.path.join(path, "part-0000.parquet")):
+    if not (os.path.exists(os.path.join(path, "part-0000.parquet")) and cache_is_current(path)):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         generate_image_events(path, n_rows=2000, n_entities=300, files=4)
     return image_feature_backfill(path, num_buckets=8)
 

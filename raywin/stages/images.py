@@ -176,6 +176,22 @@ class DecodeFeatures:
 # Deterministic synthetic image event table (FIXTURES.md F1)
 # ---------------------------------------------------------------------------
 
+# bump when make_pixels/make_caption/codecs change: cached /tmp tables from
+# an older generator would fail the decode invariant checks
+GENERATOR_VERSION = "v2-splitmix"
+
+
+def cache_is_current(path: str) -> bool:
+    import os
+
+    marker = os.path.join(path, "_GENERATOR_VERSION")
+    try:
+        with open(marker) as f:
+            return f.read().strip() == GENERATOR_VERSION
+    except OSError:
+        return False
+
+
 _CAPTION_WORDS = (
     "red blue ancient tiny huge bright cat dog tree river mountain city "
     "night day photo painting sketch sunset forest ocean"
@@ -248,6 +264,8 @@ def generate_image_events(
     import os
 
     os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_GENERATOR_VERSION"), "w") as f:
+        f.write(GENERATOR_VERSION)
     rows_per_file = (n_rows + files - 1) // files
     jobs = []
     for fi in range(files):
