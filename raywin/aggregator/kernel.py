@@ -53,6 +53,58 @@ _SEGTREE_OPS = {
 
 _NEG_INF = np.iinfo(np.int64).min // 4
 
+_MAX_EXACT = float(1 << 52)
+
+
+def round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero, matching DuckDB's round()/CAST-to-int —
+    np.rint would round half-to-even and diverge at exact .5 ties."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def detect_decimal(vals: np.ndarray, valid: np.ndarray, max_scale: int = 4):
+    """If every valid value is (within fp noise) a decimal with <= max_scale
+    fractional digits, return (digits d, int64 scaled values with invalid->0);
+    else None.
+
+    Enables EXACT fixed-point aggregation: float SUM/AVERAGE/moments computed
+    as int64/bigint sums are bitwise-deterministic across partitionings and
+    merge orders, unlike float accumulation (the reference aggregates Scala
+    Doubles sequentially, SimpleAggregators.scala:69-88 — deterministic only
+    single-threaded; exact ints are the distributed-safe equivalent)."""
+    if vals is None or vals.dtype.kind != "f":
+        return None
+    v = np.where(valid, vals, 0.0)
+    if not np.isfinite(v).all():
+        return None
+    for d in range(max_scale + 1):
+        scaled = v * (10.0**d)
+        m = np.max(np.abs(scaled)) if len(scaled) else 0.0
+        if m >= _MAX_EXACT:
+            return None
+        r = round_half_away(scaled)
+        # tolerance: fp noise of products/parquet decode, far below 0.5
+        if np.max(np.abs(scaled - r), initial=0.0) <= 1e-6 + m * 1e-11:
+            return d, r.astype(np.int64)
+    return None
+
+
+def _power_prefix(sv: np.ndarray, p: int):
+    """Exact exclusive prefix sums of sv**p: int64 when bounds allow, else
+    arbitrary-precision Python ints (object dtype)."""
+    n = len(sv)
+    m = int(np.max(np.abs(sv))) if n else 0
+    if n * (m**p) < (1 << 62):
+        a = sv.astype(np.int64) ** p
+        cs = np.zeros(n + 1, dtype=np.int64)
+        cs[1:] = np.cumsum(a)
+        return cs
+    a = sv.astype(object) ** p
+    cs = np.zeros(n + 1, dtype=object)
+    if n:
+        cs[1:] = np.cumsum(a)
+    return cs
+
 
 def factorize_multi(columns_list: list[list[np.ndarray]]) -> tuple[list[np.ndarray], int]:
     """Jointly factorize tuples of key columns across several frames.
@@ -104,6 +156,24 @@ class _Column:
         self.comp_vals = raw[self.valid]  # null-compressed values, still ts-sorted
         self.comp_ts = ts_sorted[self.valid]
         self._cumsum = None
+        self._decimal = False  # False = not probed; None = not decimal
+        self._dec_prefix: dict[int, np.ndarray] = {}
+
+    @property
+    def decimal(self):
+        """(digits, int64-scaled null-compressed values) or None."""
+        if self._decimal is False:
+            self._decimal = detect_decimal(
+                self.comp_vals.astype(np.float64) if self.numeric is not None and len(self.comp_vals) else None,
+                np.ones(len(self.comp_vals), dtype=bool),
+            ) if self.numeric is not None else None
+        return self._decimal
+
+    def dec_prefix(self, p: int) -> np.ndarray:
+        """Exact exclusive prefix sums of scaled**p over compressed values."""
+        if p not in self._dec_prefix:
+            self._dec_prefix[p] = _power_prefix(self.decimal[1], p)
+        return self._dec_prefix[p]
 
     def compress(self, l: np.ndarray, r: np.ndarray):
         """Map raw index ranges to null-compressed index ranges."""
@@ -547,6 +617,12 @@ class PartitionAggregator:
             col = get_col(part.input_column)
             if col.numeric is None and op not in (Operation.MIN, Operation.MAX):
                 return self._object_engine(part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq)
+            if (
+                op in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS)
+                and col.numeric is not None
+                and col.decimal is not None
+            ):
+                return self._exact_moments_engine(part, col, get_bounds, nq)
             return self._segtree_engine(part, get_col, get_bounds, segtrees, nq)
         if op is Operation.APPROX_PERCENTILE:
             return self._percentile_engine(part, get_col, get_bounds, nq)
@@ -559,6 +635,17 @@ class PartitionAggregator:
         empty = cnt == 0
         if part.operation is Operation.COUNT:
             return _mask_int(cnt, empty)
+        if col.numeric is not None and col.numeric.dtype.kind == "f" and col.decimal is not None:
+            # EXACT fixed-point sum: bitwise-deterministic across partition
+            # and merge order (matches an oracle summing scaled BIGINTs)
+            d, _ = col.decimal
+            lv, rv = col.compress(l, r)
+            cs = col.dec_prefix(1)
+            s = (cs[rv] - cs[lv]).astype(np.float64) / np.float64(10.0**d)
+            if part.operation is Operation.SUM:
+                return np.where(empty, np.nan, s)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return np.where(empty, np.nan, s / np.maximum(cnt, 1))
         cs = col.cumsum
         s = cs[r] - cs[l]
         if part.operation is Operation.SUM:
@@ -613,6 +700,51 @@ class PartitionAggregator:
         if state is None:
             return np.full(nq, None, dtype=object)
         return tree.ir.finalize(state, valid)
+
+    def _exact_moments_engine(self, part, col, get_bounds, nq):
+        """Variance/skew/kurtosis from EXACT integer power sums of the
+        fixed-point-scaled values, finalized with a fixed double-op sequence.
+
+        The power sums are order-independent integers, so the result is
+        bitwise identical however the partition was ordered or merged — and
+        matches an oracle computing sum(sv^k) in BIGINT/HUGEINT then applying
+        the same double expressions:
+            M2 = s2 - s1*(s1/n);  M3 = s3 - (3*m)*s2 + ((2*m)*m)*s1
+            M4 = s4 - (4*m)*s3 + ((6*m)*m)*s2 - (((3*m)*m)*m)*s1
+            var = M2/n;  skew = sqrt(n)*M3/(M2*sqrt(M2));
+            kurt = n*M4/(M2*M2) - 3            (m = s1/n)
+        """
+        op = part.operation
+        d, _ = col.decimal
+        l, r = get_bounds(part)
+        lv, rv = col.compress(l, r)
+        n = (rv - lv).astype(np.float64)
+        scale = np.float64(10.0**d)
+
+        def psum(p):
+            cs = col.dec_prefix(p)
+            sf = (cs[rv] - cs[lv]).astype(np.float64)
+            return sf / (scale**p)
+
+        s1 = psum(1)
+        s2 = psum(2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = s1 / n
+            m2 = s2 - s1 * m
+            if op is Operation.VARIANCE:
+                out = np.where(n >= 1, m2 / n, np.nan)
+            elif op is Operation.SKEW:
+                s3 = psum(3)
+                m3 = s3 - (3 * m) * s2 + ((2 * m) * m) * s1
+                out = np.where(
+                    (n >= 3) & (m2 > 0), np.sqrt(n) * m3 / (m2 * np.sqrt(m2)), np.nan
+                )
+            else:
+                s3 = psum(3)
+                s4 = psum(4)
+                m4 = s4 - (4 * m) * s3 + ((6 * m) * m) * s2 - (((3 * m) * m) * m) * s1
+                out = np.where((n >= 4) & (m2 > 0), n * m4 / (m2 * m2) - 3, np.nan)
+        return np.where(n >= 1, out, np.nan)
 
     def _percentile_engine(self, part, get_col, get_bounds, nq):
         """Percentiles over the window's value slice — exact (linear
@@ -737,6 +869,14 @@ class PartitionAggregator:
         n = len(vals)
         sample = vals if n <= 100_000 else vals[:: max(1, n // 100_000)]
         edges = np.unique(np.quantile(np.sort(sample), np.linspace(0, 1, n_bins + 1)))
+        if len(edges) < 2:
+            # (near-)constant distribution: one collapsed edge — every
+            # non-empty window's percentiles are that constant
+            const = float(edges[0]) if len(edges) else float("nan")
+            out = np.empty(nq, dtype=object)
+            for j in range(nq):
+                out[j] = None if rv[j] <= lv[j] else [const] * len(pct)
+            return out
         centers = (edges[:-1] + edges[1:]) / 2
         nb = len(centers)
         bin_idx = np.clip(np.searchsorted(edges, vals, side="right") - 1, 0, nb - 1)

@@ -74,16 +74,21 @@ def asof_core(sf_dir: str):
     return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True)
 
 
+# Float sums/averages use EXACT fixed-point semantics (values are 2-decimal):
+# sum = CAST(sum of scaled BIGINTs AS DOUBLE) / 100.0, avg = that / count —
+# bitwise identical to the kernel's int64-prefix path regardless of order.
 ASOF_CORE_SQL = f"""
-WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value,
+                  CAST(round(value * 100) AS BIGINT) AS sv FROM events),
 q AS (SELECT DISTINCT user_id, ts FROM e),
-p AS (SELECT q.user_id, q.ts, e.value, e.ts AS ets
+p AS (SELECT q.user_id, q.ts, e.value, e.sv, e.ts AS ets
       FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ts < q.ts)
 SELECT user_id, ts,
-  sum(value) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}) AS value_sum_1d,
-  sum(value) AS value_sum,
+  CAST(sum(sv) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}) AS DOUBLE) / 100.0
+    AS value_sum_1d,
+  CAST(sum(sv) AS DOUBLE) / 100.0 AS value_sum,
   nullif(count(value) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}), 0) AS value_count_1d,
-  avg(value) AS value_average,
+  CAST(sum(sv) AS DOUBLE) / 100.0 / count(value) AS value_average,
   max(value) FILTER (WHERE ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}) AS value_max_7d,
   min(value) FILTER (WHERE ets >= (ts - {30 * DAY})//{DAY}*{DAY}) AS value_min_30d
 FROM p GROUP BY user_id, ts
@@ -143,22 +148,43 @@ def asof_moments(sf_dir: str):
     return features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True)
 
 
-ASOF_MOMENTS_SQL = """
-WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
-q AS (SELECT DISTINCT user_id, ts FROM e),
-p AS (SELECT q.user_id, q.ts, e.value
-      FROM q JOIN e ON e.user_id = q.user_id AND e.ts < q.ts AND e.value IS NOT NULL),
-s1 AS (SELECT user_id, ts, count(*) AS n, avg(value) AS m FROM p GROUP BY user_id, ts),
-s2 AS (SELECT p.user_id, p.ts,
-         sum(pow(p.value - s1.m, 2)) AS m2,
-         sum(pow(p.value - s1.m, 3)) AS m3,
-         sum(pow(p.value - s1.m, 4)) AS m4
-       FROM p JOIN s1 USING (user_id, ts) GROUP BY p.user_id, p.ts)
+# Moments from EXACT integer power sums of the 100x-scaled values, finalized
+# with the same double-op sequence as kernel._exact_moments_engine — bitwise
+# reproducible.  _TO_D is a correctly-rounded HUGEINT->DOUBLE (DuckDB's direct
+# cast is off-by-ulp above 2^53; splitting at 2^53 makes the one fp add exact).
+# Requires nonnegative sums (values here are positive).
+_P53 = 9007199254740992
+
+
+def _to_d(expr: str) -> str:
+    return f"(CAST(({expr}) % {_P53} AS DOUBLE) + CAST(({expr}) // {_P53} AS DOUBLE) * {_P53}.0)"
+
+
+ASOF_MOMENTS_SQL = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                  CAST(round(value * 100) AS BIGINT) AS sv
+           FROM events WHERE value IS NOT NULL),
+q AS (SELECT DISTINCT user_id, ts FROM (SELECT user_id, epoch_ms(ts) AS ts FROM events)),
+p AS (SELECT q.user_id, q.ts, e.sv
+      FROM q JOIN e ON e.user_id = q.user_id AND e.ts < q.ts),
+s AS (SELECT user_id, ts, count(*) AS n,
+        CAST(sum(sv) AS DOUBLE) / 100.0 AS s1,
+        {_to_d('sum(CAST(sv AS HUGEINT) * sv)')} / 10000.0 AS s2,
+        {_to_d('sum(CAST(sv AS HUGEINT) * sv * sv)')} / 1000000.0 AS s3,
+        {_to_d('sum(CAST(sv AS HUGEINT) * sv * sv * sv)')} / 100000000.0 AS s4
+      FROM p GROUP BY user_id, ts),
+f AS (SELECT user_id, ts, n, s1, s2, s3, s4, s1 / n AS m,
+        s2 - s1 * (s1 / n) AS m2 FROM s)
 SELECT q.user_id, q.ts,
   CASE WHEN n >= 1 THEN m2 / n END AS value_variance,
-  CASE WHEN n >= 3 AND m2 > 0 THEN sqrt(n) * m3 / pow(m2, 1.5) END AS value_skew,
-  CASE WHEN n >= 4 AND m2 > 0 THEN n * m4 / (m2 * m2) - 3 END AS value_kurtosis
-FROM q LEFT JOIN s1 USING (user_id, ts) LEFT JOIN s2 USING (user_id, ts)
+  CASE WHEN n >= 3 AND m2 > 0
+       THEN sqrt(n) * (s3 - (3 * m) * s2 + ((2 * m) * m) * s1) / (m2 * sqrt(m2))
+  END AS value_skew,
+  CASE WHEN n >= 4 AND m2 > 0
+       THEN n * (s4 - (4 * m) * s3 + ((6 * m) * m) * s2 - (((3 * m) * m) * m) * s1)
+            / (m2 * m2) - 3
+  END AS value_kurtosis
+FROM q LEFT JOIN f USING (user_id, ts)
 """
 
 
@@ -382,14 +408,16 @@ def join_enrich(sf_dir: str):
 
 
 JOIN_ENRICH_SQL = f"""
-WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts, value FROM events),
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts, value,
+                  CAST(round(value * 100) AS BIGINT) AS sv FROM events),
 base AS (
   SELECT l.event_id, l.user_id, l.event_type, l.ts,
-    (SELECT sum(r.value) FROM e r WHERE r.user_id = l.user_id
+    (SELECT CAST(sum(r.sv) AS DOUBLE) / 100.0 FROM e r WHERE r.user_id = l.user_id
        AND r.ts < l.ts AND r.ts >= (l.ts - {7 * DAY})//{HOUR}*{HOUR}) AS user_stats_value_sum_7d,
     (SELECT nullif(count(r.value), 0) FROM e r WHERE r.user_id = l.user_id AND r.ts < l.ts)
        AS user_stats_value_count,
-    (SELECT avg(r.value) FROM e r WHERE r.event_type = l.event_type
+    (SELECT CAST(sum(r.sv) AS DOUBLE) / 100.0 / count(r.value) FROM e r
+       WHERE r.event_type = l.event_type
        AND r.ts < l.ts AND r.ts >= (l.ts - {DAY})//{HOUR}*{HOUR}) AS t_type_stats_value_average_1d
   FROM e l)
 SELECT *, user_stats_value_sum_7d / user_stats_value_count AS sum_per_count FROM base
@@ -409,24 +437,29 @@ def q1_pricing_summary(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_shipdate"],
     )
+    # Partials sum EXACT scaled BIGINTs (prices are 2-decimal; the
+    # disc-price product has <= 4 decimals), so the cross-block merge is
+    # integer-exact and order-independent; finals convert once to DOUBLE with
+    # the same expression the oracle uses.
     return sql_group_agg(
         ds,
         keys=["l_returnflag", "l_linestatus"],
         partials={
-            "sum_qty": "sum(l_quantity)",
-            "sum_base_price": "sum(l_extendedprice)",
-            "sum_disc_price": "sum(l_extendedprice * (1 - l_discount))",
-            "sum_disc": "sum(l_discount)",
+            "sum_qty": "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)",
+            "sum_base_price": "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)",
+            "sum_disc_price":
+                "CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT)",
+            "sum_disc": "CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)",
             "count_order": "count(*)",
         },
         merge={"sum_qty": "sum", "sum_base_price": "sum", "sum_disc_price": "sum",
                "sum_disc": "sum", "count_order": "sum"},
         finals={
-            "sum_qty": "sum_qty",
-            "sum_base_price": "sum_base_price",
-            "sum_disc_price": "sum_disc_price",
-            "avg_qty": "sum_qty / count_order",
-            "avg_disc": "sum_disc / count_order",
+            "sum_qty": "CAST(sum_qty AS DOUBLE)",
+            "sum_base_price": "CAST(sum_base_price AS DOUBLE) / 100.0",
+            "sum_disc_price": "CAST(sum_disc_price AS DOUBLE) / 10000.0",
+            "avg_qty": "CAST(sum_qty AS DOUBLE) / count_order",
+            "avg_disc": "CAST(sum_disc AS DOUBLE) / 100.0 / count_order",
             "count_order": "count_order",
         },
         where="l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'",
@@ -435,11 +468,12 @@ def q1_pricing_summary(sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  sum(l_quantity) AS sum_qty,
-  sum(l_extendedprice) AS sum_base_price,
-  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-  sum(l_quantity) / count(*) AS avg_qty,
-  sum(l_discount) / count(*) AS avg_disc,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE)
+    / 10000.0 AS sum_disc_price,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
   count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -536,15 +570,23 @@ def ann_cosine_topk(sf_dir: str):
     from ..stages.ann import brute_force_topk
 
     emb_path = f"{sf_dir}/embeddings.parquet"
+    qvecs, qids = _query_vectors(emb_path, 8)
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qvecs, qids, "embedding", "vec_id", k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _query_vectors(emb_path: str, n: int):
+    """Read ONLY the n query vectors (predicate pushed into the parquet scan
+    — never the whole corpus onto the driver)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    qdf = df[df["vec_id"] < 8].sort_values("vec_id")
-    qvecs = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    out = brute_force_topk(ds, qvecs, qdf["vec_id"].to_numpy(), "embedding", "vec_id", k=10)
-    return out.select_columns(["query_id", "vec_id", "rank"])
+    t = pq.read_table(
+        emb_path, columns=["vec_id", "embedding"], filters=pc.field("vec_id") < n
+    )
+    df = t.to_pandas().sort_values("vec_id")
+    return np.asarray(df["embedding"].tolist(), dtype=np.float64), df["vec_id"].to_numpy()
 
 
 ANN_SQL = """
@@ -685,18 +727,14 @@ def approx_distinct_users(sf_dir: str):
 
 
 def lsh_ann_docs(sf_dir: str):
-    import pyarrow.parquet as pq
     import ray.data
 
     from ..stages.ann import lsh_bucketed_topk
 
     emb_path = f"{sf_dir}/embeddings.parquet"
-    df = pq.read_table(emb_path, columns=["vec_id", "embedding"]).to_pandas()
-    qdf = df[df["vec_id"] < 4].sort_values("vec_id")
-    qvecs = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    qvecs, qids = _query_vectors(emb_path, 4)
     ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    out = lsh_bucketed_topk(ds, qvecs, qdf["vec_id"].to_numpy(), "embedding", "vec_id",
-                            k=5, n_planes=4)
+    out = lsh_bucketed_topk(ds, qvecs, qids, "embedding", "vec_id", k=5, n_planes=4)
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 

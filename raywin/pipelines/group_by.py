@@ -61,9 +61,12 @@ def output_type(part: AggregationPart, input_type: pa.DataType) -> pa.DataType:
     elif op is Operation.APPROX_PERCENTILE:
         base = pa.list_(pa.float64())
     elif op in (Operation.TOP_K, Operation.BOTTOM_K):
-        base = pa.list_(pa.float64() if not pa.types.is_integer(input_type) else pa.int64())
-        # TopK segtree engine computes in float64; keep float for floats
-        base = pa.list_(pa.float64())
+        # numeric inputs run the float64 segtree engine (ints coerce to
+        # float); non-numeric inputs run the object engine and keep their type
+        if pa.types.is_integer(input_type) or pa.types.is_floating(input_type):
+            base = pa.list_(pa.float64())
+        else:
+            base = pa.list_(input_type)
     elif op in (Operation.FIRST_K, Operation.LAST_K):
         elem = input_type.value_type if part.element_wise else input_type
         base = pa.list_(elem)
@@ -174,7 +177,7 @@ def features_for_queries(
     left_ds,
     num_buckets: int = 64,
     resolution=None,
-    head_rounding: int = 1,
+    head_rounding: int | None = None,
     right_ds=None,
     dedupe_queries: bool = False,
     hot_config=None,
@@ -191,6 +194,11 @@ def features_for_queries(
         resolution = (
             FiveMinuteResolution if group_by.accuracy is Accuracy.TEMPORAL else DailyResolution
         )
+    if head_rounding is None:
+        # SNAPSHOT accuracy = features "as of last midnight before the query"
+        # (reference Extensions.scala snapshot semantics): round the window
+        # head down to the day; TEMPORAL keeps the exact-millisecond head.
+        head_rounding = 1 if group_by.accuracy is Accuracy.TEMPORAL else MILLIS_DAY
     if right_ds is None:
         right_ds = events_dataset(group_by)
     parts = group_by.agg_parts()
@@ -228,7 +236,7 @@ def features_for_queries(
         lookback = (max(bounded) + max(hops)) if bounded else 0
         key_col = group_by.key_columns[0]
         left_ds = left_ds.map_batches(
-            HotChunkTag(key_col, hot_config.keys, hot_config.chunk_ms),
+            HotChunkTag(key_col, hot_config.keys, hot_config.chunk_ms, hot_config.max_chunk),
             batch_format="pyarrow",
         )
         right_ds = right_ds.map_batches(
@@ -296,5 +304,7 @@ def snapshot_backfill(group_by: GroupBy, ds_dates: list[str], num_buckets: int =
 
     left = keys.map_batches(explode, batch_format="pyarrow")
     return features_for_queries(
-        group_by, left, num_buckets, resolution=DailyResolution, head_rounding=1
+        # queries are synthesized at exact midnights, so SNAPSHOT head
+        # rounding (ts < round_down(q, DAY) = q) matches strict ts < q
+        group_by, left, num_buckets, resolution=DailyResolution
     )

@@ -72,12 +72,16 @@ def part_features(
         # semi-join-filter the right scan BEFORE the shuffle
         # (reference key-injection / bloom pruning, Join.scala:306-341)
         kcol = gb.key_columns[0]
-        keys_df = queries.select_columns([kcol]).unique(kcol)
-        if isinstance(keys_df, list):
-            key_vals = keys_df
-        else:  # older API returns Dataset
-            key_vals = [r[kcol] for r in keys_df.take_all()]
-        if len(key_vals) <= SMALL_MODE_CUTOFF:
+        # gate on LEFT ROW COUNT first (a distributed count, like the
+        # reference's Join.scala:306-341 row-count gate) — materializing the
+        # distinct key list before deciding would pull billions of keys onto
+        # the driver on a big left
+        key_vals = []
+        if queries.count() <= SMALL_MODE_CUTOFF:
+            key_vals = queries.select_columns([kcol]).unique(kcol)
+            if not isinstance(key_vals, list):  # older API returns Dataset
+                key_vals = [r[kcol] for r in key_vals.take_all()]
+        if key_vals:
             import numpy as np
             import pyarrow as pa
             import ray

@@ -40,11 +40,12 @@ class _BatchTopK:
             )
         sims = self.q @ _normalize(vecs).T  # (nq, nbatch)
         k = min(self.k, sims.shape[1])
-        # deterministic top-k per query: sim desc, id asc
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[0]):
-            cand = part[qi]
+            # deterministic local top-k: sim desc, id asc — argpartition on
+            # sim alone could drop the lower id of an equal-sim tie pair at
+            # the cutoff, breaking the documented global tie order
+            cand = np.lexsort((ids, -sims[qi]))[:k]
             out_q.extend([self.query_ids[qi]] * len(cand))
             out_id.extend(ids[cand])
             out_sim.extend(sims[qi, cand])

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 BUCKET_COL = "__bucket"
 SIDE_COL = "__side"
 
+from ray.data.aggregate import Max as _TsMax, Min as _TsMin  # noqa: E402
+
 
 def stable_hash(columns: list[np.ndarray]) -> np.ndarray:
     """Deterministic uint64 hash of one or more key columns."""
@@ -74,16 +76,21 @@ class HotChunkTag:
     get chunk -1.  The hot-key set is small (heavy hitters only) and ships
     inline with the UDF."""
 
-    def __init__(self, key_col: str, hot_keys, chunk_ms: int):
+    def __init__(self, key_col: str, hot_keys, chunk_ms: int, max_chunk: int | None = None):
         self.key_col = key_col
         self.hot_arr = np.asarray(sorted(hot_keys), dtype=object)
         self.chunk_ms = chunk_ms
+        self.max_chunk = max_chunk
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
         ts = batch["ts"].to_numpy(zero_copy_only=False)
         is_hot = np.isin(keys, self.hot_arr)
         chunk = np.where(is_hot, ts // self.chunk_ms, -1).astype(np.int64)
+        if self.max_chunk is not None:
+            # late queries share the last chunk's bucket — replication caps at
+            # max_chunk, so an uncapped chunk id would see no events at all
+            chunk = np.minimum(chunk, self.max_chunk)
         return batch.append_column(CHUNK_COL, pa.array(chunk))
 
 
@@ -162,7 +169,12 @@ def detect_hot_keys(
         return HotKeyConfig(set(), 1, 0)
     counts = sample[key_col].value_counts(normalize=True)
     hot = set(counts[counts > hot_fraction].index)
-    ts_min, ts_max = int(sample["ts"].min()), int(sample["ts"].max())
+    if not hot:
+        return HotKeyConfig(set(), 1, 0)
+    # exact ts range via a cheap single-column scan — a sampled max would
+    # strand later-than-sample queries in chunks with no replicated events
+    mm = ds.select_columns(["ts"]).aggregate(_TsMin("ts"), _TsMax("ts"))
+    ts_min, ts_max = int(mm["min(ts)"]), int(mm["max(ts)"])
     chunk_ms = max(1, (ts_max - ts_min) // n_chunks + 1)
     return HotKeyConfig(hot, chunk_ms, ts_max + chunk_ms)
 

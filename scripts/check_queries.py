@@ -105,12 +105,14 @@ def main():
             problems.append(f"schema {list(mine.columns)} != {list(oracle.columns)}")
         if not problems:
             if not mine.equals(oracle):
+                # strict: the driver hashes round(6) values, so require exact
+                # equality of the canonicalized frames (no isclose tolerance)
                 neq = pd.DataFrame(index=mine.index)
                 for c in mine.columns:
                     if str(mine[c].dtype).startswith("float"):
                         neq[c] = ~(
                             (mine[c].isna() & oracle[c].isna())
-                            | np.isclose(mine[c], oracle[c], rtol=1e-6, atol=1e-6)
+                            | (mine[c] == oracle[c])
                         )
                     else:
                         neq[c] = (mine[c] != oracle[c]) & ~(mine[c].isna() & oracle[c].isna())
