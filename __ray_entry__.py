@@ -38,4 +38,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in catalog.ORACLE_QUERIES.items()}
+    # entries may be lazy (callables returning SQL) when the SQL embeds
+    # fixture paths that must exist first
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_fn, sql) in catalog.ORACLE_QUERIES.items()
+    }

@@ -649,6 +649,115 @@ GROUP BY label
 """
 
 
+# --------------------------------------------------- corpus hashing oracles
+# Every deterministic text-hash stage has a DuckDB oracle built from the SAME
+# definition (functions/texthash.py): Horner codepoint hash mod 2**64
+# (+ splitmix64), expressed in HUGEINT arithmetic.
+
+
+def _texthash_sqls() -> dict[str, str]:
+    import numpy as np  # noqa: F811
+
+    from ..functions.texthash import (
+        HORNER_B,
+        HORNER_INIT,
+        minhash_seeds,
+        sql_codepoints,
+        sql_horner,
+        sql_norm,
+        sql_splitmix64_ctes,
+        sql_to_signed,
+    )
+
+    U64 = 1 << 64
+    fingerprint = f"""
+SELECT doc_id, {sql_to_signed(sql_horner(sql_codepoints(sql_norm('text'))))} AS fingerprint
+FROM documents
+"""
+
+    pow2_rows = ",".join(f"({b}, CAST('{1 << b}' AS HUGEINT))" for b in range(64))
+    simhash = f"""
+WITH tt AS (SELECT doc_id,
+        list_transform(regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+'),
+                       __w -> lower(__w)) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM tt),
+h0 AS (SELECT doc_id, {sql_horner(sql_codepoints('w'))} AS hh FROM tok),
+{sql_splitmix64_ctes('h0', 'hh', 'doc_id', 'hs')},
+bt AS (SELECT * FROM (VALUES {pow2_rows}) __pw(b, p)),
+bits AS (SELECT hs.doc_id, bt.b, bt.p,
+         sum(CASE WHEN (hs.h // bt.p) % 2 = 1 THEN 1 ELSE -1 END) AS score
+         FROM hs CROSS JOIN bt GROUP BY hs.doc_id, bt.b, bt.p),
+agg AS (SELECT doc_id, sum(CASE WHEN score > 0 THEN p ELSE 0 END) AS u
+        FROM bits GROUP BY doc_id)
+SELECT d.doc_id, coalesce({sql_to_signed('a.u')}, 0) AS simhash
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    stop = {
+        "en": "'the','and','of','to','a','in','is','that','it','for'",
+        "fr": "'le','la','et','de','un','une','est','que','pour','dans'",
+        "de": "'der','die','und','das','ist','ein','eine','zu','mit','von'",
+        "es": "'el','la','y','de','que','en','un','una','es','por'",
+    }
+    score_cols = ",\n        ".join(
+        f"len(list_filter(ltoks, __t -> __t IN ({words}))) AS s_{lang}"
+        for lang, words in stop.items()
+    )
+    best = "greatest(s_de, s_en, s_es, s_fr)"
+    langid = f"""
+WITH base AS (SELECT doc_id, lang, coalesce(text, '') AS txt FROM documents),
+tk AS (SELECT doc_id, lang, txt,
+        regexp_extract_all(lower(txt), '[a-zà-ÿäöüß]+') AS ltoks,
+        list_transform(regexp_extract_all(txt, '[0-9A-Za-z_]+'),
+                       __w -> lower(__w)) AS qtoks
+       FROM base),
+sc AS (SELECT doc_id, lang, txt, qtoks, {score_cols} FROM tk)
+SELECT doc_id, lang,
+  CASE WHEN {best} = 0 THEN 'unknown'
+       WHEN s_fr = {best} THEN 'fr'
+       WHEN s_es = {best} THEN 'es'
+       WHEN s_en = {best} THEN 'en'
+       ELSE 'de' END AS lang_guess,
+  0.4 * sqrt(CAST(least(length(txt), 2000) AS DOUBLE) / 2000.0)
+  + 0.4 * (CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(txt), 1))
+  + 0.2 * (CAST(len(list_distinct(qtoks)) AS DOUBLE) / greatest(len(qtoks), 1))
+  AS quality_score
+FROM sc
+"""
+
+    seeds = minhash_seeds(64)
+    seed_rows = ",".join(f"({k}, CAST('{int(s)}' AS HUGEINT))" for k, s in enumerate(seeds))
+    minhash = f"""
+WITH d AS (SELECT doc_id, {sql_norm('text')} AS norm FROM documents),
+sh0 AS (SELECT doc_id, CASE WHEN length(norm) < 5 THEN [norm]
+         ELSE list_transform(range(1, length(norm) - 3), __i -> substring(norm, __i, 5))
+        END AS shingles FROM d),
+sh AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh0),
+hh AS (SELECT doc_id, {sql_horner(sql_codepoints('sgl'))} AS h FROM sh),
+pk AS (SELECT * FROM (VALUES {seed_rows}) __sd(k, seed)),
+mx0 AS (SELECT hh.doc_id, pk.k, xor(hh.h, pk.seed) AS hx FROM hh CROSS JOIN pk),
+{sql_splitmix64_ctes('mx0', 'hx', 'doc_id, k', 'mixed')},
+mins AS (SELECT doc_id, k, min(h) AS m FROM mixed GROUP BY doc_id, k),
+bnd0 AS (SELECT doc_id, k // 4 AS band,
+          list_reduce(list_prepend(CAST({HORNER_INIT} AS HUGEINT), list(m ORDER BY k)),
+                      (__a, __x) -> (__a * {HORNER_B} + __x) % CAST({U64} AS HUGEINT)) AS bh
+         FROM mins GROUP BY doc_id, k // 4),
+{sql_splitmix64_ctes('bnd0', 'bh', 'doc_id, band', 'bhs')},
+buck AS (SELECT band, h, min(doc_id) AS bucket_min FROM bhs GROUP BY band, h),
+lab AS (SELECT b.doc_id, min(bu.bucket_min) AS cluster
+        FROM bhs b JOIN buck bu ON bu.band = b.band AND bu.h = b.h
+        GROUP BY b.doc_id)
+SELECT doc_id, cluster FROM lab
+"""
+    return {
+        "fingerprint_docs": fingerprint,
+        "simhash_docs": simhash,
+        "langid_quality": langid,
+        "minhash_clusters": minhash,
+    }
+
+
 # ---------------------------------------------------- rows-only (no SQL oracle)
 
 
@@ -812,20 +921,34 @@ FROM (
 """
 
 
+_ENTITY_FIXTURE_VERSION = 2  # v2: value rows carry creation ts; left persisted
+
+
 def _entity_fixture(tmp_dir="/tmp/raywin_entities"):
-    """Deterministic snapshot+mutation fixture (FIXTURES.md F3 shape)."""
+    """Deterministic snapshot+mutation+left fixture (FIXTURES.md F3 shape).
+
+    Value rows carry their CREATION timestamp (``ts``) separately from the
+    mutation time (``mutation_ts``) — updates/deletes reference the original
+    row's ts, so windowed aggregations over row age are meaningful (reference
+    CDC convention, api/py/ai/chronon/query.py:66-72)."""
     import os
 
     import pyarrow.parquet as pq
 
     snap_path = os.path.join(tmp_dir, "snaps.parquet")
     mut_path = os.path.join(tmp_dir, "muts.parquet")
-    if os.path.exists(snap_path) and os.path.exists(mut_path):
-        return snap_path, mut_path
+    left_path = os.path.join(tmp_dir, "left.parquet")
+    ver_path = os.path.join(tmp_dir, f"v{_ENTITY_FIXTURE_VERSION}")
+    if all(os.path.exists(p) for p in (snap_path, mut_path, left_path, ver_path)):
+        return snap_path, mut_path, left_path
     os.makedirs(tmp_dir, exist_ok=True)
     rng = np.random.default_rng(21)
     base = pd.Timestamp("2024-03-01").value // 1_000_000
-    state = {str(k): [float(rng.integers(1, 50))] for k in range(30)}
+    # state[k] = list of (value, created_ts); seed rows created the day before
+    state = {
+        str(k): [(float(rng.integers(1, 50)), int(base - DAY + rng.integers(0, DAY)))]
+        for k in range(30)
+    }
     snap_rows, mut_rows = [], []
     for d in range(5):
         day_start = base + d * DAY
@@ -837,26 +960,29 @@ def _entity_fixture(tmp_dir="/tmp/raywin_entities"):
                 if action == "insert" or not vals:
                     v = float(rng.integers(1, 50))
                     mut_rows.append((k, v, mts, mts, False))
-                    vals.append(v)
+                    vals.append((v, mts))
                 elif action == "update":
                     i = rng.integers(0, len(vals))
-                    mut_rows.append((k, vals[i], mts, mts, True))
+                    old_v, old_ts = vals[i]
+                    mut_rows.append((k, old_v, old_ts, mts, True))
                     new = float(rng.integers(1, 50))
-                    mut_rows.append((k, new, mts, mts, False))
-                    vals[i] = new
+                    mut_rows.append((k, new, old_ts, mts, False))
+                    vals[i] = (new, old_ts)
                 else:
                     i = rng.integers(0, len(vals))
-                    mut_rows.append((k, vals.pop(i), mts, mts, True))
+                    old_v, old_ts = vals.pop(i)
+                    mut_rows.append((k, old_v, old_ts, mts, True))
         ds_label = pd.Timestamp(day_start, unit="ms").strftime("%Y-%m-%d")
         for k, vals in state.items():
-            for v in vals:
-                snap_rows.append((k, v, ds_label))
+            for v, cts in vals:
+                snap_rows.append((k, v, cts, ds_label))
     pq.write_table(
         pa.table(
             {
                 "k": pa.array([r[0] for r in snap_rows]),
                 "rating": pa.array([r[1] for r in snap_rows]),
-                "ds": pa.array([r[2] for r in snap_rows]),
+                "ts": pa.array([r[2] for r in snap_rows], type=pa.int64()),
+                "ds": pa.array([r[3] for r in snap_rows]),
             }
         ),
         snap_path,
@@ -873,18 +999,31 @@ def _entity_fixture(tmp_dir="/tmp/raywin_entities"):
         ),
         mut_path,
     )
-    return snap_path, mut_path
+    qbase = pd.Timestamp("2024-03-02").value // 1_000_000
+    qrng = np.random.default_rng(33)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(qrng.integers(0, 30, 500).astype(str)),
+                "ts": pa.array(qbase + qrng.integers(0, 4 * DAY, 500), type=pa.int64()),
+            }
+        ),
+        left_path,
+    )
+    open(ver_path, "w").close()
+    return snap_path, mut_path, left_path
 
 
 def temporal_entities_demo(sf_dir: str):
-    """PITC aggregation over mutable entities (CDC reversals) — deterministic
-    fixture; correctness pinned by tests/test_entities.py brute-force oracle."""
+    """PITC aggregation over mutable entities (CDC reversals), unwindowed AND
+    windowed deletable ops — deterministic fixture with a full DuckDB
+    per-query recompute oracle (reference MutationsTest.scala:74-134)."""
     import ray.data
 
     from ..api import Accuracy, EntitySource
     from .entities import temporal_entity_features
 
-    snap_path, mut_path = _entity_fixture()
+    snap_path, mut_path, left_path = _entity_fixture()
     gb = GroupBy(
         sources=[EntitySource(snapshot_table=snap_path, mutation_table=mut_path, query=Query())],
         key_columns=["k"],
@@ -892,21 +1031,83 @@ def temporal_entities_demo(sf_dir: str):
             Aggregation(Operation.SUM, "rating"),
             Aggregation(Operation.COUNT, "rating"),
             Aggregation(Operation.AVERAGE, "rating"),
+            Aggregation(Operation.SUM, "rating", windows=[Window(2, TimeUnit.DAYS)]),
+            Aggregation(Operation.COUNT, "rating", windows=[Window(3, TimeUnit.DAYS)]),
+            Aggregation(Operation.AVERAGE, "rating", windows=[Window(2, TimeUnit.DAYS)]),
         ],
         accuracy=Accuracy.TEMPORAL,
         name="ent_demo",
     )
-    base = pd.Timestamp("2024-03-02").value // 1_000_000
-    rng = np.random.default_rng(33)
-    left = ray.data.from_pandas(
-        pd.DataFrame(
-            {
-                "k": rng.integers(0, 30, 500).astype(str),
-                "ts": base + rng.integers(0, 4 * DAY, 500),
-            }
-        )
-    )
+    left = ray.data.read_parquet(left_path)
     return temporal_entity_features(gb, left, num_buckets=4)
+
+
+def _temporal_entities_sql() -> str:
+    """Exact per-query recompute over the fixture parquet files: state at
+    query ts = previous-day snapshot + same-day CDC with mutation_ts < ts;
+    windows filter on the ROW ts (sawtooth daily tail).  Fixed-point BIGINT
+    sums match the kernel bitwise."""
+    snap_path, mut_path, left_path = _entity_fixture()
+    win = {"sum_2d": 2 * DAY, "cnt_3d": 3 * DAY, "avg_2d": 2 * DAY}
+
+    def bounds(w):  # sawtooth: [round_down(ts - w, DAY), ts)
+        return f"(q.ts - {w}) // {DAY} * {DAY}"
+
+    def scnt(w=None):
+        tsf = f" AND s.ts >= {bounds(w)} AND s.ts < q.ts" if w else ""
+        return (
+            f"(SELECT coalesce(sum(CASE WHEN s.rating IS NULL THEN 0 ELSE 1 END), 0) "
+            f"FROM snaps s WHERE s.k = q.k AND s.day = q.qday{tsf})"
+        )
+
+    def ssum(w=None):
+        tsf = f" AND s.ts >= {bounds(w)} AND s.ts < q.ts" if w else ""
+        return (
+            f"(SELECT coalesce(sum(s.sv), 0) FROM snaps s "
+            f"WHERE s.k = q.k AND s.day = q.qday{tsf})"
+        )
+
+    def mfilter(w=None):
+        tsf = f" AND m.ts >= {bounds(w)} AND m.ts < q.ts" if w else ""
+        return (
+            f"FROM muts m WHERE m.k = q.k AND m.mutation_ts >= q.qday "
+            f"AND m.mutation_ts < q.ts{tsf}"
+        )
+
+    def mcnt(w=None):
+        return f"(SELECT coalesce(sum(m.sgn), 0) {mfilter(w)})"
+
+    def msum(w=None):
+        return f"(SELECT coalesce(sum(m.sgn * m.sv), 0) {mfilter(w)})"
+
+    def feature(op, w, name):
+        cnt = f"({scnt(w)} + {mcnt(w)})"
+        tot = f"CAST({ssum(w)} + {msum(w)} AS DOUBLE) / 100.0"
+        if op == "count":
+            expr = f"CAST({cnt} AS DOUBLE)"
+        elif op == "sum":
+            expr = tot
+        else:
+            expr = f"{tot} / {cnt}"
+        return f"CASE WHEN {cnt} > 0 THEN {expr} END AS {name}"
+
+    return f"""
+WITH snaps AS (SELECT k, rating, ts, CAST(round(rating * 100) AS BIGINT) AS sv,
+        epoch_ms(CAST(ds AS DATE)) + {DAY} AS day
+      FROM read_parquet('{snap_path}')),
+muts AS (SELECT k, ts, mutation_ts, CAST(round(rating * 100) AS BIGINT) AS sv,
+        CASE WHEN is_before THEN -1 ELSE 1 END AS sgn
+      FROM read_parquet('{mut_path}')),
+q AS (SELECT k, ts, ts // {DAY} * {DAY} AS qday FROM read_parquet('{left_path}'))
+SELECT q.k, q.ts,
+  {feature("sum", None, "rating_sum")},
+  {feature("count", None, "rating_count")},
+  {feature("avg", None, "rating_average")},
+  {feature("sum", win["sum_2d"], "rating_sum_2d")},
+  {feature("count", win["cnt_3d"], "rating_count_3d")},
+  {feature("avg", win["avg_2d"], "rating_average_2d")}
+FROM q
+"""
 
 
 def drift_stats_demo(sf_dir: str):
@@ -975,13 +1176,19 @@ ORACLE_QUERIES = {
     "elementwise_avg": (elementwise_avg_by_label, ELEMENTWISE_SQL),
 }
 
+_THS = _texthash_sqls()
+ORACLE_QUERIES.update(
+    {
+        "minhash_clusters": (minhash_clusters_docs, _THS["minhash_clusters"]),
+        "simhash_docs": (simhash_docs, _THS["simhash_docs"]),
+        "langid_quality": (langid_docs, _THS["langid_quality"]),
+        "fingerprint_docs": (fingerprint_docs, _THS["fingerprint_docs"]),
+        "temporal_entities": (temporal_entities_demo, _temporal_entities_sql),
+    }
+)
+
 ROWS_ONLY_QUERIES = {
-    "temporal_entities": temporal_entities_demo,
     "drift_stats": drift_stats_demo,
-    "minhash_clusters": minhash_clusters_docs,
-    "simhash_docs": simhash_docs,
-    "langid_quality": langid_docs,
-    "fingerprint_docs": fingerprint_docs,
     "approx_sketches": approx_distinct_users,
     "lsh_ann": lsh_ann_docs,
     "image_backfill": image_backfill_small,

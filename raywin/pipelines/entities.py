@@ -3,22 +3,33 @@
 Reference semantics (spark/.../GroupBy.scala:100-142 snapshotEntities,
 :171-274 temporalEntities; CDC row convention api/py/ai/chronon/query.py:66-72):
 
-  * snapshot_table: one row per (key, ds) — the entity state as of that day's
-    midnight snapshot.
+  * snapshot_table: one row per (key, row, ds) — entity state as of that
+    day's end, each row carrying its own ``ts`` (creation time).
   * mutation_table: CDC rows (keys, values, ts, mutation_ts, is_before); an
     update is TWO rows (old value is_before=true, new value is_before=false);
-    insert = false-only, delete = true-only.
+    insert = false-only, delete = true-only.  ``ts`` is the ROW's timestamp,
+    ``mutation_ts`` when the change happened.
   * SNAPSHOT accuracy: features as of each ds = aggregate that day's snapshot.
   * TEMPORAL accuracy: feature at query ts = aggregate of the entity state at
-    that exact millisecond = snapshot of the previous midnight + the day's
-    mutations with mutation_ts < ts applied (update for is_before=false,
-    delete/reversal for is_before=true) — the lambdaAggregateIrMany topology
-    (SawtoothMutationAggregator.scala:185-222) collapsed into signed prefix
-    sums.
+    that millisecond = previous-day snapshot + same-day mutations with
+    mutation_ts < ts applied as signed contributions (is_before = -1) — the
+    reference's SawtoothMutationAggregator.scala:185-222 topology collapsed
+    into signed prefix sums.
 
-Temporal-entities support covers the DELETABLE (abelian-group) operations —
-SUM / COUNT / AVERAGE — the set whose IRs admit CDC reversal
-(api.thrift:156-167); windowed variants are future work.
+Windowed aggregations filter on the ROW ts with the sawtooth daily tail
+(round_down(q - w, DAY) <= ts < q), mirroring mergeTailHops
+(SawtoothMutationAggregator.scala:147-178).  Supported operations are the
+DELETABLE (abelian-group) set — SUM / COUNT / AVERAGE — whose IRs admit CDC
+reversal (api.thrift:156-167); the reference's fast mutation path has the
+same restriction.
+
+Scale shape: ONE co-partitioning shuffle of (queries ∪ snapshots ∪
+mutations) hash-bucketed by entity key; inside each bucket everything is
+sorted composite-searchsorted numpy except the windowed-mutation sweep,
+which is an O((Q+M) log M) Fenwick pass per input column (2-D constraint:
+mutation_ts < q AND ts in window).  Sums use EXACT scaled-int64 fixed-point
+arithmetic when values are decimal-like, so results are bitwise-reproducible
+and match a DuckDB recompute oracle.
 """
 
 from __future__ import annotations
@@ -27,7 +38,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..api import MILLIS_DAY, Aggregation, EntitySource, GroupBy, Operation
+from ..api import MILLIS_DAY, EntitySource, GroupBy, Operation
+from ..aggregator.kernel import detect_decimal, factorize_multi
+from ..aggregator.windowing import round_down
 from ..stages.shuffle import BUCKET_COL, SIDE_COL, AddBucket, pad_to_schema, unify_schemas
 from .group_by import _arrow_schema
 
@@ -69,15 +82,51 @@ def snapshot_entity_features(group_by: GroupBy, num_buckets: int = 32):
     return bucketed.groupby(BUCKET_COL).map_groups(agg_fn, batch_format="pandas")
 
 
+class _Fenwick:
+    """Int Fenwick tree over ts ranks holding (sum, count) pairs."""
+
+    __slots__ = ("n", "s", "c")
+
+    def __init__(self, n: int):
+        self.n = n
+        self.s = [0] * (n + 1)
+        self.c = [0] * (n + 1)
+
+    def add(self, pos: int, dv: int, dc: int):
+        i = pos + 1
+        s, c, n = self.s, self.c, self.n
+        while i <= n:
+            s[i] += dv
+            c[i] += dc
+            i += i & (-i)
+
+    def prefix(self, pos: int):
+        """(sum, count) over ranks [0, pos)."""
+        i = pos
+        s, c = self.s, self.c
+        ts = tc = 0
+        while i > 0:
+            ts += s[i]
+            tc += c[i]
+            i -= i & (-i)
+        return ts, tc
+
+
 class EntityKernel:
-    """Per-bucket temporal-entities merge: snapshot base + signed mutation
-    prefix at each query timestamp."""
+    """Per-bucket temporal-entities merge: previous-day snapshot base +
+    signed same-day mutation deltas at each query timestamp, with optional
+    sawtooth windows over the row ts."""
 
     def __init__(self, key_cols, parts, left_names):
         self.__name__ = "EntityKernel"
         self.key_cols = key_cols
         self.parts = parts
         self.left_names = left_names
+        for part in parts:
+            if part.operation not in _DELETABLE:
+                raise NotImplementedError(
+                    f"temporal entities requires deletable ops, got {part.operation}"
+                )
 
     def __call__(self, group: pa.Table) -> pa.Table:
         side = group[SIDE_COL].to_numpy(zero_copy_only=False)
@@ -89,84 +138,232 @@ class EntityKernel:
             for part in self.parts:
                 cols[part.output_column] = []
             return pd.DataFrame(cols)
-        key = self.key_cols[0] if len(self.key_cols) == 1 else None
-
-        def key_series(df):
-            if key is not None:
-                return df[key].astype(str)
-            s = df[self.key_cols[0]].astype(str)
-            for c in self.key_cols[1:]:
-                s = s + "\x00" + df[c].astype(str)
-            return s
-
-        q_day = (queries["ts"] // MILLIS_DAY) * MILLIS_DAY
         out = queries.copy()
-        # snapshot base: aggregate per (key, ds); queries use the snapshot of
-        # the day BEFORE their own day (state as of last midnight)
-        snaps = snaps.assign(__k=key_series(snaps))
-        snap_day_end = (
-            pd.to_datetime(snaps["ds"]).astype("int64") // 1_000_000 + MILLIS_DAY
+
+        (q_k, s_k, m_k), _ = factorize_multi(
+            [
+                [queries[c].to_numpy() for c in self.key_cols],
+                [snaps[c].to_numpy() for c in self.key_cols] if len(snaps) else [np.array([], dtype=object) for _ in self.key_cols],
+                [muts[c].to_numpy() for c in self.key_cols] if len(muts) else [np.array([], dtype=object) for _ in self.key_cols],
+            ]
         )
-        snaps = snaps.assign(__day=snap_day_end)
-        muts = muts.assign(__k=key_series(muts))
-        muts = muts.sort_values(["__k", "mutation_ts"], kind="mergesort")
-        sign = np.where(muts["is_before"].to_numpy(), -1.0, 1.0) if len(muts) else np.zeros(0)
-        q_k = key_series(queries)
-        for part in self.parts:
-            if part.operation not in _DELETABLE:
-                raise NotImplementedError(
-                    f"temporal entities requires deletable ops, got {part.operation}"
-                )
-            vcol = part.input_column
-            base = snaps.groupby(["__k", "__day"])[vcol].agg(["sum", "count"])
-            base_sum = base["sum"].to_dict()
-            base_cnt = base["count"].to_dict()
-            msum = np.zeros(len(queries))
-            mcnt = np.zeros(len(queries))
-            if len(muts):
-                mk = muts["__k"].to_numpy()
-                mts = muts["mutation_ts"].to_numpy().astype(np.int64)
-                mval = muts[vcol].to_numpy().astype(np.float64)
-                valid = ~np.isnan(mval)
-                cs_sum = np.concatenate([[0.0], np.cumsum(np.where(valid, mval * sign, 0))])
-                cs_cnt = np.concatenate([[0.0], np.cumsum(np.where(valid, sign, 0))])
-                # per-key segment bounds via composite searchsorted
-                codes, uniq = pd.factorize(mk)
-                qcodes = pd.Categorical(q_k, categories=uniq).codes
-                tmin = mts.min()
-                span = mts.max() - tmin + 2
-                mkey = codes.astype(np.int64) * span + (mts - tmin)
-                lo_b = np.where(
-                    qcodes >= 0,
-                    qcodes.astype(np.int64) * span
-                    + np.clip(q_day.to_numpy() - tmin, 0, span - 1),
-                    -1,
-                )
-                hi_b = np.where(
-                    qcodes >= 0,
-                    qcodes.astype(np.int64) * span
-                    + np.clip(queries["ts"].to_numpy() - tmin, 0, span - 1),
-                    -1,
-                )
-                l = np.searchsorted(mkey, lo_b, side="left")
-                r = np.searchsorted(mkey, hi_b, side="left")
-                ok = qcodes >= 0
-                msum[ok] = cs_sum[r[ok]] - cs_sum[l[ok]]
-                mcnt[ok] = cs_cnt[r[ok]] - cs_cnt[l[ok]]
-            keys_days = list(zip(q_k, q_day))
-            bsum = np.array([base_sum.get(kd, 0.0) for kd in keys_days])
-            bcnt = np.array([base_cnt.get(kd, 0) for kd in keys_days], dtype=np.float64)
-            tot_sum = bsum + msum
-            tot_cnt = bcnt + mcnt
-            empty = tot_cnt <= 0
-            if part.operation is Operation.SUM:
-                out[part.output_column] = np.where(empty, np.nan, tot_sum)
-            elif part.operation is Operation.COUNT:
-                out[part.output_column] = np.where(empty, np.nan, tot_cnt)
-            else:
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    out[part.output_column] = np.where(empty, np.nan, tot_sum / tot_cnt)
+        q_ts = queries["ts"].to_numpy().astype(np.int64)
+        q_day = (q_ts // MILLIS_DAY) * MILLIS_DAY
+        # snapshot of day D covers queries of day D+1: snap day-end == q day-start
+        s_day = (
+            pd.to_datetime(snaps["ds"]).astype("int64").to_numpy() // 1_000_000 + MILLIS_DAY
+            if len(snaps)
+            else np.zeros(0, dtype=np.int64)
+        )
+        s_ts = snaps["ts"].to_numpy().astype(np.int64) if "ts" in snaps and len(snaps) else np.zeros(len(snaps), dtype=np.int64)
+        m_mts = muts["mutation_ts"].to_numpy().astype(np.int64) if len(muts) else np.zeros(0, dtype=np.int64)
+        m_ts = muts["ts"].to_numpy().astype(np.int64) if len(muts) else np.zeros(0, dtype=np.int64)
+        m_day = (m_mts // MILLIS_DAY) * MILLIS_DAY
+        m_sign = (
+            np.where(muts["is_before"].to_numpy(), -1, 1).astype(np.int64)
+            if len(muts)
+            else np.zeros(0, dtype=np.int64)
+        )
+
+        # jointly factorize (key, day) segments across the three frames into
+        # DENSE codes (composite searchsorted keys must stay within int64)
+        days = np.concatenate([q_day, s_day, m_day]) // MILLIS_DAY
+        dmin = days.min() if len(days) else 0
+        nd = int(days.max() - dmin) + 1 if len(days) else 1
+        mixed = np.concatenate([q_k, s_k, m_k]) * np.int64(nd) + (days - dmin)
+        seg_all, _ = pd.factorize(mixed)
+        seg_all = seg_all.astype(np.int64)
+        q_seg, s_seg, m_seg = np.split(seg_all, [len(q_k), len(q_k) + len(s_k)])
+
+        # sort once per side
+        s_order = np.lexsort((s_ts, s_seg))
+        s_seg_s, s_ts_s = s_seg[s_order], s_ts[s_order]
+        m_order = np.lexsort((m_mts, m_seg))
+        m_seg_s, m_mts_s, m_ts_s = m_seg[m_order], m_mts[m_order], m_ts[m_order]
+        m_sign_s = m_sign[m_order]
+        q_order = np.lexsort((q_ts, q_seg))
+
+        for col_name, col_parts in _group_by_column(self.parts):
+            s_vals = (
+                snaps[col_name].iloc[s_order].to_numpy()
+                if len(snaps)
+                else np.zeros(0, dtype=np.float64)
+            )
+            m_vals = (
+                muts[col_name].iloc[m_order].to_numpy()
+                if len(muts)
+                else np.zeros(0, dtype=np.float64)
+            )
+            self._eval_column(
+                out, col_parts,
+                q_seg, q_ts, q_day, q_order,
+                s_seg_s, s_ts_s, s_vals,
+                m_seg_s, m_mts_s, m_ts_s, m_sign_s, m_vals,
+            )
         return out.drop(columns=[BUCKET_COL], errors="ignore")
+
+    def _eval_column(
+        self, out, parts,
+        q_seg, q_ts, q_day, q_order,
+        s_seg, s_ts, s_vals,
+        m_seg, m_mts, m_ts, m_sign, m_vals,
+    ):
+        nq = len(q_ts)
+        all_vals = np.concatenate([
+            np.asarray(s_vals, dtype=np.float64),
+            np.asarray(m_vals, dtype=np.float64),
+        ])
+        dec = detect_decimal(all_vals, np.isfinite(all_vals))
+        if dec is not None:
+            d, scaled = dec
+            sv_s = scaled[: len(s_vals)]
+            sv_m = scaled[len(s_vals):]
+            s_valid = np.isfinite(np.asarray(s_vals, dtype=np.float64)).astype(np.int64)
+            m_valid = np.isfinite(np.asarray(m_vals, dtype=np.float64)).astype(np.int64)
+        else:
+            d = None
+            sv_s = np.nan_to_num(np.asarray(s_vals, dtype=np.float64))
+            sv_m = np.nan_to_num(np.asarray(m_vals, dtype=np.float64))
+            s_valid = (~np.isnan(np.asarray(s_vals, dtype=np.float64))).astype(np.int64)
+            m_valid = (~np.isnan(np.asarray(m_vals, dtype=np.float64))).astype(np.int64)
+        scale = np.float64(10.0 ** d) if d is not None else np.float64(1.0)
+
+        # ---- snapshot side: composite searchsorted over (seg, ts) ----------
+        ns = len(s_seg)
+        if ns:
+            tmin = int(s_ts.min())
+            span = int(s_ts.max()) - tmin + 2
+            s_key = s_seg * np.int64(span) + (s_ts - tmin)
+            cs_sum = np.zeros(ns + 1, dtype=np.int64 if d is not None else np.float64)
+            cs_sum[1:] = np.cumsum(np.where(s_valid > 0, sv_s, 0))
+            cs_cnt = np.zeros(ns + 1, dtype=np.int64)
+            cs_cnt[1:] = np.cumsum(s_valid)
+
+            def snap_bounds(lo_ts, hi_ts):
+                lo = np.clip(lo_ts - tmin, 0, span - 1)
+                hi = np.clip(hi_ts - tmin, 0, span - 1)
+                l = np.searchsorted(s_key, q_seg * np.int64(span) + lo, side="left")
+                r = np.searchsorted(s_key, q_seg * np.int64(span) + hi, side="left")
+                return l, r
+
+        # ---- mutation side, unbounded: searchsorted over (seg, mutation_ts)
+        nm = len(m_seg)
+        if nm:
+            mtmin = int(m_mts.min())
+            mspan = int(m_mts.max()) - mtmin + 2
+            m_key = m_seg * np.int64(mspan) + (m_mts - mtmin)
+            cm_sum = np.zeros(nm + 1, dtype=np.int64 if d is not None else np.float64)
+            cm_sum[1:] = np.cumsum(np.where(m_valid > 0, sv_m * m_sign, 0))
+            cm_cnt = np.zeros(nm + 1, dtype=np.int64)
+            cm_cnt[1:] = np.cumsum(m_valid * m_sign)
+
+        unbounded = [p for p in parts if p.window.unbounded]
+        windowed = [p for p in parts if not p.window.unbounded]
+
+        results = {}
+        if unbounded:
+            ssum = np.zeros(nq, dtype=np.float64)
+            scnt = np.zeros(nq, dtype=np.int64)
+            if ns:
+                l, r = snap_bounds(np.full(nq, tmin - 1), q_ts)
+                ssum = (cs_sum[r] - cs_sum[l]).astype(np.float64)
+                scnt = cs_cnt[r] - cs_cnt[l]
+            msum = np.zeros(nq, dtype=np.float64)
+            mcnt = np.zeros(nq, dtype=np.int64)
+            if nm:
+                lo = np.clip(q_day - mtmin, 0, mspan - 1)
+                hi = np.clip(q_ts - mtmin, 0, mspan - 1)
+                l = np.searchsorted(m_key, q_seg * np.int64(mspan) + lo, side="left")
+                r = np.searchsorted(m_key, q_seg * np.int64(mspan) + hi, side="left")
+                msum = (cm_sum[r] - cm_sum[l]).astype(np.float64)
+                mcnt = cm_cnt[r] - cm_cnt[l]
+            for p in unbounded:
+                results[p.output_column] = (ssum + msum, scnt + mcnt)
+
+        if windowed:
+            # snapshot side per window is vectorized; the mutation side needs
+            # the 2-D (mutation_ts < q, ts in window) constraint: one Fenwick
+            # sweep over queries in (seg, ts) order, activating mutations as
+            # mutation_ts passes and de-activating on segment change
+            win_snap = {}
+            for p in windowed:
+                lo_ts = round_down(q_ts - p.window.millis, MILLIS_DAY)
+                if ns:
+                    l, r = snap_bounds(lo_ts, q_ts)
+                    win_snap[p.output_column] = (
+                        (cs_sum[r] - cs_sum[l]).astype(np.float64),
+                        cs_cnt[r] - cs_cnt[l],
+                        lo_ts,
+                    )
+                else:
+                    win_snap[p.output_column] = (
+                        np.zeros(nq), np.zeros(nq, dtype=np.int64), lo_ts
+                    )
+            wsum = {p.output_column: np.zeros(nq, dtype=np.float64) for p in windowed}
+            wcnt = {p.output_column: np.zeros(nq, dtype=np.int64) for p in windowed}
+            if nm:
+                uniq_ts = np.unique(m_ts)
+                rank = np.searchsorted(uniq_ts, m_ts)
+                lo_ranks = {
+                    p.output_column: np.searchsorted(uniq_ts, win_snap[p.output_column][2])
+                    for p in windowed
+                }
+                hi_rank = np.searchsorted(uniq_ts, q_ts)
+                fen = _Fenwick(len(uniq_ts))
+                active: list[int] = []
+                ptr = 0
+                cur_seg = None
+                sv_m_int = sv_m.tolist()
+                m_valid_l = m_valid.tolist()
+                m_sign_l = m_sign.tolist()
+                rank_l = rank.tolist()
+                m_seg_l = m_seg.tolist()
+                m_mts_l = m_mts.tolist()
+                for qi in q_order:
+                    seg = q_seg[qi]
+                    if seg != cur_seg:
+                        for j in active:
+                            fen.add(rank_l[j], -sv_m_int[j] * m_sign_l[j] * m_valid_l[j],
+                                    -m_sign_l[j] * m_valid_l[j])
+                        active = []
+                        ptr = np.searchsorted(m_seg, seg, side="left")
+                        cur_seg = seg
+                    qt = q_ts[qi]
+                    while ptr < nm and m_seg_l[ptr] == seg and m_mts_l[ptr] < qt:
+                        fen.add(rank_l[ptr], sv_m_int[ptr] * m_sign_l[ptr] * m_valid_l[ptr],
+                                m_sign_l[ptr] * m_valid_l[ptr])
+                        active.append(ptr)
+                        ptr += 1
+                    hi = hi_rank[qi]
+                    s_hi, c_hi = fen.prefix(hi)
+                    for p in windowed:
+                        oc = p.output_column
+                        s_lo, c_lo = fen.prefix(lo_ranks[oc][qi])
+                        wsum[oc][qi] = s_hi - s_lo
+                        wcnt[oc][qi] = c_hi - c_lo
+            for p in windowed:
+                oc = p.output_column
+                ss, sc, _ = win_snap[oc]
+                results[oc] = (ss + wsum[oc], sc + wcnt[oc])
+
+        for p in parts:
+            tot_sum, tot_cnt = results[p.output_column]
+            empty = tot_cnt <= 0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if p.operation is Operation.COUNT:
+                    vals = tot_cnt.astype(np.float64)
+                elif p.operation is Operation.SUM:
+                    vals = tot_sum / scale
+                else:
+                    vals = (tot_sum / scale) / tot_cnt
+            out[p.output_column] = np.where(empty, np.nan, vals)
+
+
+def _group_by_column(parts):
+    by_col: dict[str, list] = {}
+    for p in parts:
+        by_col.setdefault(p.input_column, []).append(p)
+    return by_col.items()
 
 
 def temporal_entity_features(group_by: GroupBy, left_ds, num_buckets: int = 32):

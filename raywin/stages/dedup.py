@@ -18,28 +18,33 @@ import pyarrow as pa
 from ..aggregator.sketches import splitmix64
 from ..stages.shuffle import stable_hash
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+def minhash_signatures_batch(
+    texts, width: int, num_perm: int
+) -> np.ndarray:
+    """(n_docs, num_perm) minhash signatures, fully vectorized: ONE
+    concatenated codepoint array, width-w window Horner hashes, then per
+    permutation k a seed-mix splitmix64(h ^ seed_k) and a per-doc
+    minimum.reduceat — no per-document Python loop, and SQL-reproducible
+    (functions/texthash.py)."""
+    from ..aggregator.sketches import splitmix64
+    from ..functions.texthash import (
+        codepoints_concat,
+        minhash_seeds,
+        normalize_ws,
+        window_horner,
+    )
 
-
-def _shingle_hashes(text: str, width: int) -> np.ndarray:
-    if len(text) < width:
-        return pd.util.hash_array(np.array([text], dtype=object)).astype(np.uint64)
-    sh = [text[i : i + width] for i in range(len(text) - width + 1)]
-    return np.unique(pd.util.hash_array(np.array(sh, dtype=object)).astype(np.uint64))
-
-
-def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(1234567)  # fixed: signatures must be stable
-    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
-    return a, b
-
-
-def minhash_signature(text: str, width: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    h = _shingle_hashes(text, width) & _MERSENNE
-    with np.errstate(over="ignore"):
-        vals = (np.outer(a, h) + b[:, None]) % _MERSENNE  # (num_perm, n_shingles)
-    return vals.min(axis=1)
+    norm = normalize_ws(pd.Series(list(texts)))
+    cp, off = codepoints_concat(norm.tolist())
+    sh, sh_off = window_horner(cp, off, width)
+    seeds = minhash_seeds(num_perm)
+    n = len(norm)
+    sig = np.empty((n, num_perm), dtype=np.uint64)
+    starts = sh_off[:-1]
+    for k in range(num_perm):  # bounded by num_perm, not by docs
+        mixed = splitmix64(sh ^ seeds[k])
+        sig[:, k] = np.minimum.reduceat(mixed, starts)
+    return sig
 
 
 def exact_dedup(ds, cols: list[str], order_col: str, num_buckets: int = 64):
@@ -69,24 +74,28 @@ class MinHashBands:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle = shingle
-        self.a, self.b = _perm_params(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.texthash import HORNER_B, HORNER_INIT
+
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = minhash_signature(text or "", self.shingle, self.a, self.b)
-            bands = sig.reshape(self.bands, self.rows_per_band)
-            bh = splitmix64(bands.sum(axis=1, dtype=np.uint64) + np.arange(self.bands, dtype=np.uint64))
-            out_id.extend([doc_id] * self.bands)
-            out_band.extend(range(self.bands))
-            out_hash.extend(bh.astype(np.int64))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        sig = minhash_signatures_batch(texts, self.shingle, self.num_perm)
+        # band key = Horner hash of the band's minima TUPLE (a sum of minima
+        # would merge unrelated buckets on permutation-sum collisions)
+        bands3 = sig.reshape(n, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = np.full((n, self.bands), np.uint64(HORNER_INIT), dtype=np.uint64)
+            for t in range(self.rows_per_band):
+                bh = bh * np.uint64(HORNER_B) + bands3[:, :, t]
+            bh = splitmix64(bh)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
+                self.id_col: pa.array(np.repeat(ids, self.bands)),
+                "band": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64), type=pa.int64()),
             }
         )
 
@@ -125,27 +134,41 @@ def minhash_lsh_clusters(ds, text_col: str, id_col: str, num_perm=64, bands=16, 
 
 
 class SimHash:
-    """map_batches: adds a 64-bit simhash of whitespace tokens."""
+    """map_batches: adds a 64-bit simhash over ASCII word tokens.
+
+    Vectorized batch-wide: tokens exploded once, hashed with the
+    splitmix64(horner) family (SQL-reproducible, functions/texthash.py),
+    per-document ±1 bit votes accumulated with one reduceat — no per-document
+    Python loop."""
 
     def __init__(self, text_col: str, out_col: str = "simhash"):
         import re
 
         self.text_col = text_col
         self.out_col = out_col
-        self.tok = re.compile(r"\w+")
+        self.tok = re.compile(r"[0-9A-Za-z_]+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            toks = self.tok.findall((text or "").lower())
-            if not toks:
-                continue
-            h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            score = (2 * bits - 1).sum(axis=0)
-            out[i] = np.int64(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64).view(np.int64))
-        return batch.append_column(self.out_col, pa.array(out, type=pa.int64()))
+        from ..aggregator.sketches import splitmix64
+        from ..functions.texthash import horner_texts
+
+        s = pd.Series(batch[self.text_col].to_pylist()).fillna("")
+        toks = s.str.findall(self.tok)
+        exl = toks.explode().dropna().str.lower()
+        lens = toks.str.len().to_numpy()
+        n = len(s)
+        out = np.zeros(n, dtype=np.uint64)
+        if len(exl):
+            h = splitmix64(horner_texts(exl.tolist()))
+            ar = np.arange(64, dtype=np.uint64)
+            votes = (2 * ((h[:, None] >> ar) & np.uint64(1)).astype(np.int32)) - 1
+            off = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=off[1:])
+            nonempty = lens > 0
+            scores = np.zeros((n, 64), dtype=np.int32)
+            scores[nonempty] = np.add.reduceat(votes, off[nonempty], axis=0)
+            out[nonempty] = ((scores[nonempty] > 0).astype(np.uint64) << ar).sum(axis=1)
+        return batch.append_column(self.out_col, pa.array(out.view(np.int64), type=pa.int64()))
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:

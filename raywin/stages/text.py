@@ -49,74 +49,79 @@ class TextStats:
 
 class QualityScore:
     """Heuristic document quality in [0,1]: length band + alpha ratio +
-    repetition penalty (distinct-token ratio)."""
+    repetition penalty (distinct-token ratio).  ASCII token class + explicit
+    IEEE expression order so the DuckDB oracle reproduces it exactly."""
 
     def __init__(self, text_col: str = "text"):
         import re
 
         self.text_col = text_col
-        self.tok = re.compile(r"\w+")
+        self.tok = re.compile(r"[0-9A-Za-z_]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_col].fillna("")
-        toks = s.str.lower().str.findall(self.tok)
-        n = toks.str.len().clip(lower=1)
-        distinct_ratio = toks.map(lambda ws: len(set(ws))).astype(float) / n
-        length_score = (s.str.len().clip(0, 2000) / 2000.0) ** 0.5
-        alpha = s.str.count(r"[A-Za-z]") / s.str.len().clip(lower=1)
-        batch["quality_score"] = (0.4 * length_score + 0.4 * alpha + 0.2 * distinct_ratio).astype(
-            float
-        )
+        s = batch[self.text_col].reset_index(drop=True).fillna("")
+        toks = s.str.findall(self.tok)
+        exl = toks.explode().dropna().str.lower()
+        n = len(batch)
+        n_tok = toks.str.len().to_numpy()
+        distinct = np.zeros(n, dtype=np.int64)
+        if len(exl):
+            g = exl.groupby(level=0).nunique()
+            distinct[g.index.to_numpy()] = g.to_numpy()
+        dr = distinct.astype(np.float64) / np.maximum(n_tok, 1)
+        ln = s.str.len().to_numpy()
+        ls = np.sqrt(np.minimum(ln, 2000).astype(np.float64) / 2000.0)
+        al = s.str.count(r"[A-Za-z]").to_numpy().astype(np.float64) / np.maximum(ln, 1)
+        batch["quality_score"] = 0.4 * ls + 0.4 * al + 0.2 * dr
         return batch
 
 
 class LangId:
-    """N-gram/stopword-heuristic language guess over a fixed language set."""
+    """Stopword-heuristic language guess over a fixed language set —
+    vectorized: tokens exploded once, one isin per language, positional
+    add.at accumulation (no per-document Python loop)."""
 
     def __init__(self, text_col: str = "text"):
         import re
 
         self.text_col = text_col
         self.tok = re.compile(r"[a-zà-ÿäöüß]+")
-        self.langs = sorted(_STOPWORDS)
+        self.langs = sorted(_STOPWORDS)  # tie -> lexicographically LARGEST wins
         self.stop = _STOPWORDS
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch[self.text_col].fillna(""):
-            words = self.tok.findall(text.lower())
-            if not words:
-                out.append("unknown")
-                continue
-            scores = {
-                lang: sum(w in sw for w in words) for lang, sw in self.stop.items()
-            }
-            best = max(self.langs, key=lambda lang: (scores[lang], lang))
-            out.append(best if scores[best] > 0 else "unknown")
-        batch["lang_guess"] = out
+        s = batch[self.text_col].reset_index(drop=True).fillna("").str.lower()
+        toks = s.str.findall(self.tok)
+        ex = toks.explode().dropna()
+        n = len(batch)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(ex):
+            pos = ex.index.to_numpy()
+            for j, lang in enumerate(self.langs):
+                hit = ex.isin(self.stop[lang]).to_numpy()
+                np.add.at(scores[:, j], pos[hit], 1)
+        # argmax with ties to the LARGEST lang name (matches
+        # max(langs, key=lambda l: (score, l)))
+        rev_pick = scores.shape[1] - 1 - np.argmax(scores[:, ::-1], axis=1)
+        best = scores[np.arange(n), rev_pick]
+        lang_arr = np.asarray(self.langs, dtype=object)
+        batch["lang_guess"] = np.where(best > 0, lang_arr[rev_pick], "unknown")
         return batch
 
 
 class Fingerprint:
-    """Deterministic 64-bit document fingerprint: polynomial rolling hash of
-    the normalized text (lower-cased, whitespace collapsed)."""
+    """Deterministic 64-bit document fingerprint: Horner polynomial hash of
+    the whitespace-normalized text's code points — fully vectorized (one
+    concatenated codepoint array per batch, no per-byte Python loop) and
+    SQL-reproducible (functions/texthash.py defines the DuckDB equivalent)."""
 
     def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
-        import re
-
         self.text_col = text_col
         self.out_col = out_col
-        self.ws = re.compile(r"\s+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(batch), dtype=np.int64)
-        base = np.uint64(1099511628211)
-        for i, text in enumerate(batch[self.text_col].fillna("")):
-            norm = self.ws.sub(" ", text.strip().lower())
-            h = np.uint64(14695981039346656037)
-            for ch in norm.encode("utf-8"):
-                with np.errstate(over="ignore"):
-                    h = (h ^ np.uint64(ch)) * base
-            out[i] = h.view(np.int64) if hasattr(h, "view") else np.int64(h)
-        batch[self.out_col] = out
+        from ..functions.texthash import horner_texts, normalize_ws, to_signed
+
+        norm = normalize_ws(batch[self.text_col])
+        batch[self.out_col] = to_signed(horner_texts(norm.tolist()))
         return batch

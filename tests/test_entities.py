@@ -22,9 +22,13 @@ def entity_tables(tmp_path_factory):
     n_keys, n_days = 12, 4
     snap_rows = []
     mut_rows = []
-    # per (key, day): snapshot holds the rating rows as of that day's END;
-    # during each day mutations insert/update/delete
-    state: dict[str, list[float]] = {str(k): [float(rng.integers(1, 50))] for k in range(n_keys)}
+    # per (key, day): snapshot holds the rating rows (value, created_ts) as
+    # of that day's END; during each day mutations insert/update/delete —
+    # updates/deletes carry the ORIGINAL row ts (CDC convention)
+    state: dict[str, list] = {
+        str(k): [(float(rng.integers(1, 50)), int(BASE - DAY + rng.integers(0, DAY)))]
+        for k in range(n_keys)
+    }
     for d in range(n_days):
         day_start = BASE + d * DAY
         # mutations during day d — timestamps drawn sorted so the CDC
@@ -38,28 +42,30 @@ def entity_tables(tmp_path_factory):
                 if action == "insert" or not vals:
                     v = float(rng.integers(1, 50))
                     mut_rows.append((k, v, mts, mts, False))
-                    vals.append(v)
+                    vals.append((v, mts))
                 elif action == "update":
                     i = rng.integers(0, len(vals))
-                    old = vals[i]
+                    old, old_ts = vals[i]
                     new = float(rng.integers(1, 50))
-                    mut_rows.append((k, old, mts, mts, True))
-                    mut_rows.append((k, new, mts, mts, False))
-                    vals[i] = new
+                    mut_rows.append((k, old, old_ts, mts, True))
+                    mut_rows.append((k, new, old_ts, mts, False))
+                    vals[i] = (new, old_ts)
                 else:
                     i = rng.integers(0, len(vals))
-                    mut_rows.append((k, vals.pop(i), mts, mts, True))
+                    old, old_ts = vals.pop(i)
+                    mut_rows.append((k, old, old_ts, mts, True))
         # end-of-day snapshot
         ds = pd.Timestamp(day_start, unit="ms").strftime("%Y-%m-%d")
         for k, vals in state.items():
-            for v in vals:
-                snap_rows.append((k, v, ds))
+            for v, cts in vals:
+                snap_rows.append((k, v, cts, ds))
 
     snaps = pa.table(
         {
             "k": pa.array([r[0] for r in snap_rows]),
             "rating": pa.array([r[1] for r in snap_rows]),
-            "ds": pa.array([r[2] for r in snap_rows]),
+            "ts": pa.array([r[2] for r in snap_rows], type=pa.int64()),
+            "ds": pa.array([r[3] for r in snap_rows]),
         }
     )
     muts = pa.table(
@@ -76,6 +82,9 @@ def entity_tables(tmp_path_factory):
     return str(root / "snaps.parquet"), str(root / "muts.parquet"), snap_rows, mut_rows
 
 
+from raywin.api import TimeUnit, Window
+
+
 def _gb(snap_path, mut_path):
     return GroupBy(
         sources=[EntitySource(snapshot_table=snap_path, mutation_table=mut_path, query=Query())],
@@ -84,20 +93,29 @@ def _gb(snap_path, mut_path):
             Aggregation(Operation.SUM, "rating"),
             Aggregation(Operation.COUNT, "rating"),
             Aggregation(Operation.AVERAGE, "rating"),
+            Aggregation(Operation.SUM, "rating", windows=[Window(2, TimeUnit.DAYS)]),
+            Aggregation(Operation.COUNT, "rating", windows=[Window(1, TimeUnit.DAYS)]),
         ],
         accuracy=Accuracy.TEMPORAL,
         name="ent",
     )
 
 
-def brute_force(snap_rows, mut_rows, k, q_ts):
+def brute_force(snap_rows, mut_rows, k, q_ts, window=None):
+    """Per-query recompute: previous-day snapshot + same-day CDC, sawtooth
+    window on the row ts."""
     day = (q_ts // DAY) * DAY
+    lo = (q_ts - window) // DAY * DAY if window else None
     prev_ds = pd.Timestamp(day - DAY, unit="ms").strftime("%Y-%m-%d")
-    vals = [v for kk, v, ds in snap_rows if kk == k and ds == prev_ds]
+
+    def in_win(ts):
+        return (lo is None or ts >= lo) and ts < q_ts
+
+    vals = [v for kk, v, ts, ds in snap_rows if kk == k and ds == prev_ds and in_win(ts)]
     s = sum(vals)
     c = len(vals)
     for kk, v, ts, mts, before in mut_rows:
-        if kk == k and day <= mts < q_ts:
+        if kk == k and day <= mts < q_ts and in_win(ts):
             if before:
                 s -= v
                 c -= 1
@@ -136,6 +154,18 @@ def test_temporal_entities(ray_session, entity_tables):
             assert np.isclose(gs, s), (k, t, gs, s)
             assert gc == c
             assert np.isclose(ga, s / c)
+        sw, cw = brute_force(snap_rows, mut_rows, k, int(t), window=2 * DAY)
+        gsw = row["rating_sum_2d"]
+        if sw is None:
+            assert np.isnan(gsw), (k, t, gsw, sw)
+        else:
+            assert np.isclose(gsw, sw), (k, t, gsw, sw)
+        _, c1 = brute_force(snap_rows, mut_rows, k, int(t), window=1 * DAY)
+        gc1 = row["rating_count_1d"]
+        if c1 is None:
+            assert np.isnan(gc1), (k, t, gc1, c1)
+        else:
+            assert gc1 == c1, (k, t, gc1, c1)
 
 
 def test_snapshot_entities(ray_session, entity_tables):
@@ -151,7 +181,7 @@ def test_snapshot_entities(ray_session, entity_tables):
         name="snap_ent",
     )
     out = snapshot_entity_features(gb, num_buckets=4).to_pandas()
-    df = pd.DataFrame(snap_rows, columns=["k", "rating", "ds"])
+    df = pd.DataFrame(snap_rows, columns=["k", "rating", "ts", "ds"])
     oracle = df.groupby(["k", "ds"]).agg(
         rating_sum=("rating", "sum"), rating_max=("rating", "max")
     ).reset_index()
