@@ -89,6 +89,11 @@ def run_benchmarks():
             best = dt if best is None else min(best, dt)
         timings["image_backfill"] = round(best, 3)
     else:
+        # one untimed warmup first: cold-start costs (worker spawn, parquet
+        # page cache, first-touch page faults) previously made the recorded
+        # number ~6x the steady-state one; the warm run is what a long-lived
+        # 100 TB backfill actually sees per partition
+        image_feature_backfill(img_dir).count()
         n_feat = timed(
             "image_backfill",
             lambda: image_feature_backfill(img_dir).count(),

@@ -141,15 +141,23 @@ class _Column:
         if isinstance(raw, pd.Series):
             raw = raw.to_numpy()
         self.raw = raw
+        self.is_list = False
+        self.is_map = False
         if raw.dtype.kind == "f":
             self.valid = ~np.isnan(raw)
             self.numeric = raw
         elif raw.dtype.kind in "iub":
             self.valid = np.ones(len(raw), dtype=bool)
             self.numeric = raw
-        else:  # object / string: None and nan are nulls
-            self.valid = np.array([v is not None and v == v for v in raw], dtype=bool)
+        else:  # object / string / list / map: None and nan are nulls
+            self.valid = ~pd.isna(raw)  # scalar-aware: lists/dicts are not-na
             self.numeric = None
+            probe = next((v for v in raw if v is not None), None)
+            if isinstance(probe, (list, np.ndarray)):
+                self.is_list = True
+            elif isinstance(probe, dict):
+                self.is_map = True
+        self._list_stats = None
         # exclusive prefix count of valid values: cum_valid[i] = #valid in [0, i)
         self.cum_valid = np.zeros(len(raw) + 1, dtype=np.int64)
         self.cum_valid[1:] = cumsum1d(self.valid)
@@ -178,6 +186,31 @@ class _Column:
     def compress(self, l: np.ndarray, r: np.ndarray):
         """Map raw index ranges to null-compressed index ranges."""
         return self.cum_valid[l], self.cum_valid[r]
+
+    def list_stats(self):
+        """Per-row (element_sum, element_count) for list columns with element
+        nulls skipped — vectorized via one concatenation + reduceat (the
+        auto-explode fast path for SUM/COUNT/AVERAGE over e.g. an embedding
+        column; reference ColumnAggregator.scala:79-116 VectorDispatcher)."""
+        if self._list_stats is None:
+            n = len(self.raw)
+            sums = np.zeros(n, dtype=np.float64)
+            cnts = np.zeros(n, dtype=np.int64)
+            idx = np.flatnonzero(self.valid)
+            arrs = [np.asarray(self.raw[i], dtype=np.float64) for i in idx]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            if len(arrs) and lens.sum():
+                flat = np.concatenate([a for a in arrs if len(a)])
+                off = np.zeros(len(arrs), dtype=np.int64)
+                np.cumsum(lens[:-1], out=off[1:])
+                nanm = np.isnan(flat)
+                nz = lens > 0
+                seg_sums = np.add.reduceat(np.where(nanm, 0.0, flat), off[nz])
+                seg_cnts = np.add.reduceat((~nanm).astype(np.int64), off[nz])
+                sums[idx[nz]] = seg_sums
+                cnts[idx[nz]] = seg_cnts
+            self._list_stats = (sums, cnts)
+        return self._list_stats
 
     @property
     def cumsum(self) -> np.ndarray:
@@ -448,6 +481,79 @@ class BucketedOp(ScalarOp):
         return {b: self.inner.finalize(sub) for b, sub in ir.items()}
 
 
+class ExplodeOp(ScalarOp):
+    """Auto-explode list inputs: every element updates the inner op, as if
+    each were its own row (reference ColumnAggregator.scala:79-116
+    VectorDispatcher).  Element nulls are skipped."""
+
+    def __init__(self, inner: ScalarOp):
+        self.inner = inner
+        self.timed = inner.timed
+
+    def _fold(self, ir, vec, ts):
+        for v in vec:
+            if v is None or (isinstance(v, float) and v != v):
+                continue
+            if ir is None:
+                ir = self.inner.prepare(v, ts) if self.timed else self.inner.prepare(v)
+            else:
+                ir = self.inner.update(ir, v, ts) if self.timed else self.inner.update(ir, v)
+        return ir
+
+    def prepare(self, vec, ts=None):
+        return self._fold(None, vec, ts)
+
+    def update(self, ir, vec, ts=None):
+        return self._fold(ir, vec, ts)
+
+    def merge(self, ir1, ir2):
+        if ir1 is None:
+            return ir2
+        if ir2 is None:
+            return ir1
+        return self.inner.merge(ir1, ir2)
+
+    def finalize(self, ir):
+        return None if ir is None else self.inner.finalize(ir)
+
+
+class MapColumnOp(ScalarOp):
+    """Aggregate a map<key, value> column per key: IR = {key: inner_ir},
+    output map<key, out> (reference MapColumnAggregator.scala:1-75)."""
+
+    def __init__(self, inner_factory):
+        self.inner_factory = inner_factory
+        self._probe = inner_factory()
+        self.timed = self._probe.timed
+
+    def prepare(self, m, ts=None):
+        return self.update({}, m, ts)
+
+    def update(self, ir, m, ts=None):
+        inner = self._probe
+        for k, v in m.items():
+            if v is None or (isinstance(v, float) and v != v):
+                continue
+            sub = ir.get(k)
+            if sub is None:
+                ir[k] = inner.prepare(v, ts) if self.timed else inner.prepare(v)
+            else:
+                ir[k] = inner.update(sub, v, ts) if self.timed else inner.update(sub, v)
+        return ir
+
+    def merge(self, ir1, ir2):
+        inner = self._probe
+        for k, sub in ir2.items():
+            if k in ir1:
+                ir1[k] = inner.merge(ir1[k], sub)
+            else:
+                ir1[k] = sub
+        return ir1
+
+    def finalize(self, ir):
+        return {k: self._probe.finalize(sub) for k, sub in ir.items()}
+
+
 class ElementWiseOp(ScalarOp):
     """Aggregate list columns element-wise (reference ElementWiseAggregator.scala)."""
 
@@ -609,6 +715,13 @@ class PartitionAggregator:
         op = part.operation
         if part.bucket is not None or part.element_wise:
             return self._object_engine(part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq)
+        probe_col = get_col(part.input_column)
+        if probe_col.is_list or probe_col.is_map:
+            # auto-explode list inputs / per-key map aggregation
+            # (reference ColumnAggregator.scala:79-116, MapColumnAggregator.scala)
+            if probe_col.is_list and op in _PREFIX_OPS:
+                return self._list_prefix_engine(part, probe_col, get_bounds)
+            return self._object_engine(part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq)
         if op in _PREFIX_OPS:
             return self._prefix_engine(part, get_col, get_bounds)
         if op in _POSITION_OPS:
@@ -654,6 +767,26 @@ class PartitionAggregator:
             return np.where(empty, np.nan, s)
         with np.errstate(invalid="ignore", divide="ignore"):
             return np.where(empty, np.nan, s.astype(np.float64) / np.maximum(cnt, 1))
+
+    def _list_prefix_engine(self, part, col, get_bounds):
+        """Exploded SUM/COUNT/AVERAGE over a list column: per-row element
+        sums/counts precomputed once, then the usual prefix-difference — the
+        whole window aggregate without materializing the explosion."""
+        sums, cnts = col.list_stats()
+        cs_sum = np.zeros(len(sums) + 1, dtype=np.float64)
+        cs_sum[1:] = cumsum1d(sums, dtype=np.float64)
+        cs_cnt = np.zeros(len(cnts) + 1, dtype=np.int64)
+        cs_cnt[1:] = cumsum1d(cnts, dtype=np.int64)
+        l, r = get_bounds(part)
+        cnt = cs_cnt[r] - cs_cnt[l]
+        empty = cnt == 0
+        if part.operation is Operation.COUNT:
+            return _mask_int(cnt, empty)
+        s = cs_sum[r] - cs_sum[l]
+        if part.operation is Operation.SUM:
+            return np.where(empty, np.nan, s)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(empty, np.nan, s / np.maximum(cnt, 1))
 
     def _position_engine(self, part, get_col, get_bounds, nq):
         col = get_col(part.input_column)
@@ -765,6 +898,10 @@ class PartitionAggregator:
         if isinstance(pct, str):
             pct = _json.loads(pct)
         pct = np.asarray(list(pct) if pct else [0.5], dtype=np.float64)
+        # interpolation="disc": nearest-rank (ceil(p*n)-1), the SQL
+        # quantile_disc convention — returns actual data elements, so results
+        # are exactly reproducible by an oracle; default linear interpolates
+        disc = part.arg("interpolation") == "disc"
         col = get_col(part.input_column)
         l, r = get_bounds(part)
         lv, rv = col.compress(l, r)
@@ -780,6 +917,10 @@ class PartitionAggregator:
                     out[i] = None
                     continue
                 v = np.sort(vals[a:b])
+                if disc:
+                    idx = np.maximum(np.ceil(pct * len(v)).astype(np.int64) - 1, 0)
+                    out[i] = [float(x) for x in v[np.minimum(idx, len(v) - 1)]]
+                    continue
                 pos = pct * (len(v) - 1)
                 lo = np.floor(pos).astype(np.int64)
                 hi = np.minimum(lo + 1, len(v) - 1)
@@ -846,6 +987,10 @@ class PartitionAggregator:
                 continue
             res = []
             for p in pcts:
+                if disc:
+                    k_ = min(max(int(np.ceil(p * cnt)) - 1, 0), cnt - 1)
+                    res.append(float(sorted_vals[select(k_)]))
+                    continue
                 pos = p * (cnt - 1)
                 lo = int(pos)
                 frac = pos - lo
@@ -908,9 +1053,13 @@ class PartitionAggregator:
 
     def _object_engine(self, part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq):
         op = make_scalar_op(part)
+        col = get_col(part.input_column)
         if part.element_wise:
             op = ElementWiseOp(op)
-        col = get_col(part.input_column)
+        elif col.is_list and part.bucket is None:
+            op = ExplodeOp(op)
+        elif col.is_map and part.bucket is None:
+            op = MapColumnOp(lambda: make_scalar_op(part))
         valid = col.valid
         if part.bucket is not None:
             bcol = get_col(part.bucket)

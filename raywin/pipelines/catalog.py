@@ -804,14 +804,20 @@ def fingerprint_docs(sf_dir: str):
 
 
 def approx_distinct_users(sf_dir: str):
+    """Sketch validation query: HLL estimate checked against the EXACT
+    unique count computed in the same kernel pass (error-bound oracle, the
+    reference's ApproxDistinctTest pattern), plus an exact nearest-rank
+    median that the SQL oracle reproduces verbatim."""
     gb = GroupBy(
         sources=[_events_source(sf_dir, {"user_id": "user_id", "event_type": "event_type",
                                          "value": "value"})],
         key_columns=["event_type"],
         aggregations=[
             Aggregation(Operation.APPROX_UNIQUE_COUNT, "user_id", arg_map={"lgk": 10}),
+            Aggregation(Operation.UNIQUE_COUNT, "user_id"),
             Aggregation(Operation.APPROX_PERCENTILE, "value",
-                        arg_map={"k": 128, "percentiles": "[0.5]"}),
+                        arg_map={"k": 128, "percentiles": "[0.5]",
+                                 "interpolation": "disc"}),
         ],
         accuracy=Accuracy.TEMPORAL,
         name="approx",
@@ -832,38 +838,136 @@ def approx_distinct_users(sf_dir: str):
         .groupby("event_type")
         .map_groups(lambda g: g.sort_values("ts").tail(1), batch_format="pandas")
     )
-    return features_for_queries(gb, left, num_buckets=4)
+    feats = features_for_queries(gb, left, num_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        exact = df["user_id_unique_count"].astype("int64")
+        est = df["user_id_approx_unique_count"].astype("float64")
+        # HLL lgk=10: std err 1.04/sqrt(1024) ~ 3.2%; 4 sigma + small slack
+        hll_ok = (est - exact).abs() <= np.maximum(5.0, 0.13 * exact)
+        p50 = df["value_approx_percentile"].map(lambda v: None if v is None else v[0])
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "exact_uniques": exact,
+                "hll_ok": hll_ok.astype(bool),
+                "p50": p50.astype("float64"),
+            }
+        )
+
+    return feats.map_batches(finish, batch_format="pandas")
+
+
+APPROX_SKETCHES_SQL = """
+WITH e AS (SELECT event_type, user_id, value, epoch_ms(ts) AS ts FROM events
+           WHERE event_type IS NOT NULL),
+q AS (SELECT event_type, max(ts) + 1 AS qts FROM e GROUP BY event_type)
+SELECT q.event_type,
+  (SELECT count(DISTINCT e.user_id) FROM e
+     WHERE e.event_type = q.event_type AND e.ts < q.qts) AS exact_uniques,
+  TRUE AS hll_ok,
+  (SELECT quantile_disc(e.value, 0.5) FROM e
+     WHERE e.event_type = q.event_type AND e.ts < q.qts AND e.value IS NOT NULL) AS p50
+FROM q
+"""
 
 
 def lsh_ann_docs(sf_dir: str):
+    """LSH-bucketed ANN validated two ways: top-1 must equal the global
+    brute-force top-1 (hard SQL check — the query's own bucket always
+    matches), and recall@5 vs the independent brute-force pipeline must
+    clear a floor (bound oracle)."""
     import ray.data
 
-    from ..stages.ann import lsh_bucketed_topk
+    from ..stages.ann import brute_force_topk, lsh_bucketed_topk
 
     emb_path = f"{sf_dir}/embeddings.parquet"
     qvecs, qids = _query_vectors(emb_path, 4)
     ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    out = lsh_bucketed_topk(ds, qvecs, qids, "embedding", "vec_id", k=5, n_planes=4)
-    return out.select_columns(["query_id", "vec_id", "rank"])
+    lsh = lsh_bucketed_topk(ds, qvecs, qids, "embedding", "vec_id", k=5, n_planes=4,
+                            multiprobe=2)
+    brute = brute_force_topk(ds, qvecs, qids, "embedding", "vec_id", k=5)
+    ldf = lsh.to_pandas()  # tiny: n_queries x k rows
+    bdf = brute.to_pandas()
+    rows = []
+    for qid in sorted(ldf["query_id"].unique()):
+        lq = ldf[ldf["query_id"] == qid]
+        bq = set(bdf[bdf["query_id"] == qid]["vec_id"])
+        top1 = int(lq[lq["rank"] == 1]["vec_id"].iloc[0])
+        recall = len(set(lq["vec_id"]) & bq) / max(len(bq), 1)
+        rows.append((int(qid), top1, bool(recall >= 0.6)))
+    return pd.DataFrame(rows, columns=["query_id", "top1_vec_id", "recall_ok"])
+
+
+LSH_ANN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+s AS (SELECT q.qid, c.vec_id,
+        row_number() OVER (PARTITION BY q.qid ORDER BY
+          list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
+          c.vec_id) AS rank
+      FROM q CROSS JOIN embeddings c)
+SELECT CAST(qid AS BIGINT) AS query_id, vec_id AS top1_vec_id, TRUE AS recall_ok
+FROM s WHERE rank = 1
+"""
+
+
+_IMG_SMALL_PATH = "/tmp/raywin_img_small"
+
+
+def _ensure_img_small():
+    import os
+
+    from ..stages.images import cache_is_current, generate_image_events
+
+    path = _IMG_SMALL_PATH
+    if not (os.path.exists(os.path.join(path, "part-0000.parquet")) and cache_is_current(path)):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + "_truth", ignore_errors=True)
+        generate_image_events(path, n_rows=2000, n_entities=300, files=4)
+    return path
 
 
 def image_backfill_small(sf_dir: str):
     """Flagship image pipeline on a deterministic generated table (the sf_dir
     tables carry no image payloads; BASELINE's input shape is synthesized)."""
-    import os
-
-    from ..stages.images import generate_image_events
     from .images import image_feature_backfill
 
-    from ..stages.images import cache_is_current
+    return image_feature_backfill(_ensure_img_small(), num_buckets=8)
 
-    path = "/tmp/raywin_img_small"
-    if not (os.path.exists(os.path.join(path, "part-0000.parquet")) and cache_is_current(path)):
-        import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
-        generate_image_events(path, n_rows=2000, n_entities=300, files=4)
-    return image_feature_backfill(path, num_buckets=8)
+def _image_backfill_sql() -> str:
+    """Oracle: the same point-in-time windowed aggregation in SQL over the
+    generator's truth table (per-row DECODED-pixel features — the decode
+    stage itself is pinned by the PSNR/caption invariants, the aggregation by
+    this recompute; reference GroupByTest-style oracle)."""
+    path = _ensure_img_small()
+    truth = path + "_truth"
+    h, d = HOUR, DAY
+    return f"""
+WITH e AS (SELECT image_id, ts, phash, views, score, mean_lum, contrast, edge_energy,
+                  CAST(round(score * 1000) AS BIGINT) AS ssv
+           FROM read_parquet('{truth}/truth-*.parquet')),
+q AS (SELECT DISTINCT image_id, ts FROM e),
+p AS (SELECT q.image_id, q.ts, e.views, e.score, e.ssv, e.mean_lum, e.contrast,
+             e.edge_energy, e.ts AS ets, e.phash
+      FROM q LEFT JOIN e ON e.image_id = q.image_id AND e.ts < q.ts)
+SELECT image_id, ts,
+  sum(views) FILTER (WHERE ets >= (ts - {d}) // {h} * {h}) AS views_sum_1d,
+  sum(views) FILTER (WHERE ets >= (ts - {7 * d}) // {h} * {h}) AS views_sum_7d,
+  nullif(count(views) FILTER (WHERE ets >= (ts - {7 * d}) // {h} * {h}), 0)
+    AS views_count_7d,
+  CAST(sum(ssv) FILTER (WHERE ets >= (ts - {7 * d}) // {h} * {h}) AS DOUBLE) / 1000.0
+    / count(score) FILTER (WHERE ets >= (ts - {7 * d}) // {h} * {h}) AS score_average_7d,
+  CAST(sum(ssv) AS DOUBLE) / 1000.0 / count(score) AS score_average,
+  (list(mean_lum ORDER BY ets DESC, phash DESC)
+     FILTER (WHERE ets >= (ts - {7 * d}) // {h} * {h}))[1:3] AS mean_lum_last3_7d,
+  quantile_disc(contrast, [0.5, 0.95]) FILTER (WHERE ets >= (ts - {30 * d}) // {d} * {d})
+    AS contrast_approx_percentile_30d,
+  max(edge_energy) FILTER (WHERE ets >= (ts - {7 * d}) // {h} * {h}) AS edge_energy_max_7d
+FROM p GROUP BY image_id, ts
+"""
 
 
 def staging_query_revenue(sf_dir: str):
@@ -1110,11 +1214,16 @@ FROM q
 """
 
 
-def drift_stats_demo(sf_dir: str):
-    """Distribution drift (PSI + Hellinger) between two halves of events."""
-    import ray.data
+_DRIFT_BINS = 16
 
-    from ..functions.stats import drift
+
+def drift_stats_demo(sf_dir: str):
+    """Distribution drift (PSI + Hellinger) between two halves of events,
+    binned on an explicit [min, max] grid with a fixed double-op formula so
+    the SQL oracle reproduces the bin assignment (and hence both distances)
+    exactly."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
 
@@ -1127,8 +1236,59 @@ def drift_stats_demo(sf_dir: str):
 
     a = ds.map_batches(_half(0), batch_format="pyarrow")
     b = ds.map_batches(_half(1), batch_format="pyarrow")
-    out = drift(a, b, "value", bins=16)
-    return pd.DataFrame([out])
+    mm = a.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    nb = _DRIFT_BINS
+
+    def hist(ds_x) -> np.ndarray:
+        def part(batch: pa.Table) -> pa.Table:
+            v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            # bin formula mirrored VERBATIM in the SQL oracle
+            idx = np.clip(
+                np.floor((v - lo) * nb / (hi - lo)).astype(np.int64), 0, nb - 1
+            )
+            return pa.table(
+                {"bin": np.arange(nb, dtype=np.int64),
+                 "cnt": np.bincount(idx, minlength=nb).astype(np.int64)}
+            )
+
+        parts = ds_x.map_batches(part, batch_format="pyarrow")
+        agg = parts.groupby("bin").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+        return (
+            agg.set_index("bin")["cnt"].reindex(range(nb), fill_value=0).to_numpy()
+            .astype(np.float64)
+        )
+
+    ha, hb = hist(a), hist(b)
+    p_a = np.maximum(ha / ha.sum(), 1e-6)
+    p_b = np.maximum(hb / hb.sum(), 1e-6)
+    psi = float(np.sum((p_a - p_b) * np.log(p_a / p_b)))
+    hellinger = float(np.sqrt(0.5 * np.sum((np.sqrt(p_a) - np.sqrt(p_b)) ** 2)))
+    return pd.DataFrame([{"psi": psi, "hellinger": hellinger, "bins": nb}])
+
+
+DRIFT_STATS_SQL = f"""
+WITH v AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+r AS (SELECT min(value) AS lo, max(value) AS hi FROM v WHERE event_id % 2 = 0),
+binned AS (SELECT event_id % 2 AS side,
+        least(greatest(CAST(floor((value - r.lo) * {_DRIFT_BINS} / (r.hi - r.lo))
+                            AS BIGINT), 0), {_DRIFT_BINS - 1}) AS bin
+      FROM v, r),
+bins AS (SELECT unnest(range({_DRIFT_BINS})) AS bin),
+c AS (SELECT bins.bin,
+        CAST(count(*) FILTER (WHERE side = 0) AS DOUBLE) AS ca,
+        CAST(count(*) FILTER (WHERE side = 1) AS DOUBLE) AS cb
+      FROM bins LEFT JOIN binned ON binned.bin = bins.bin GROUP BY bins.bin),
+t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM c),
+p AS (SELECT bin, greatest(ca / t.ta, 0.000001) AS pa_, greatest(cb / t.tb, 0.000001) AS pb_
+      FROM c, t)
+SELECT
+  sum((pa_ - pb_) * ln(pa_ / pb_)) AS psi,
+  sqrt(0.5 * sum((sqrt(pa_) - sqrt(pb_)) * (sqrt(pa_) - sqrt(pb_)))) AS hellinger,
+  CAST({_DRIFT_BINS} AS BIGINT) AS bins
+FROM p
+"""
 
 
 def session_stats_30m(sf_dir: str):
@@ -1184,12 +1344,12 @@ ORACLE_QUERIES.update(
         "langid_quality": (langid_docs, _THS["langid_quality"]),
         "fingerprint_docs": (fingerprint_docs, _THS["fingerprint_docs"]),
         "temporal_entities": (temporal_entities_demo, _temporal_entities_sql),
+        "image_backfill": (image_backfill_small, _image_backfill_sql),
+        "approx_sketches": (approx_distinct_users, APPROX_SKETCHES_SQL),
+        "lsh_ann": (lsh_ann_docs, LSH_ANN_SQL),
+        "drift_stats": (drift_stats_demo, DRIFT_STATS_SQL),
     }
 )
 
-ROWS_ONLY_QUERIES = {
-    "drift_stats": drift_stats_demo,
-    "approx_sketches": approx_distinct_users,
-    "lsh_ann": lsh_ann_docs,
-    "image_backfill": image_backfill_small,
-}
+# every catalog query now carries a DuckDB oracle
+ROWS_ONLY_QUERIES: dict = {}

@@ -50,6 +50,14 @@ _INT_OUT = {
 
 def output_type(part: AggregationPart, input_type: pa.DataType) -> pa.DataType:
     op = part.operation
+    if pa.types.is_map(input_type) and part.bucket is None and not part.element_wise:
+        # per-key map aggregation: map<key, out-of-scalar-op-on-values>
+        inner = AggregationPart(op, part.input_column, part.window, part.arg_map)
+        return pa.map_(input_type.key_type, output_type(inner, input_type.item_type))
+    if pa.types.is_list(input_type) and not part.element_wise and op not in (
+        Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K
+    ):
+        input_type = input_type.value_type  # auto-explode: element semantics
     if op in _INT_OUT:
         base = pa.int64()
     elif op in _FLOAT_OUT:
@@ -80,6 +88,18 @@ def output_type(part: AggregationPart, input_type: pa.DataType) -> pa.DataType:
 
 
 def _to_arrow_column(values, typ: pa.DataType) -> pa.Array:
+    raw = values if isinstance(values, np.ndarray) else np.asarray(values)
+    # vectorized fast paths (hot: every passthrough column of every group)
+    if raw.dtype.kind in "iu" and (pa.types.is_integer(typ) or pa.types.is_floating(typ)):
+        return pa.array(raw, type=typ)
+    if raw.dtype.kind == "f":
+        m = np.isnan(raw)
+        if pa.types.is_floating(typ):
+            return pa.array(raw, type=typ, from_pandas=True)  # NaN -> null
+        if pa.types.is_integer(typ):
+            return pa.array(
+                np.where(m, 0, raw).astype(np.int64), type=typ, mask=m
+            )
     arr = np.asarray(values, dtype=object)
     if pa.types.is_floating(typ):
         clean = [None if v is None or (isinstance(v, float) and np.isnan(v)) else float(v) for v in arr]
@@ -132,8 +152,10 @@ class PartitionKernel:
             n for n in group.column_names if n not in (BUCKET_COL, SIDE_COL) and n not in left_names
         ] + self.key_cols + ["ts"]
         rt = group.filter(pa.array(~is_left)).select(list(dict.fromkeys(rt_names)))
-        queries = lt.to_pandas()
-        events = rt.to_pandas()
+        # maps_as_pydicts: map<k,v> cells must reach the kernel as dicts (the
+        # MapColumnOp IR shape), not arrow's default list-of-tuples
+        queries = lt.to_pandas(maps_as_pydicts="strict")
+        events = rt.to_pandas(maps_as_pydicts="strict")
         if len(queries) == 0:
             return pa.Table.from_arrays(
                 [pa.nulls(0, f.type) for f in self.left_schema] + [pa.nulls(0, f.type) for f in self.out_fields],
@@ -142,7 +164,9 @@ class PartitionKernel:
         out = self.agg.aggregate(events, queries)
         cols = []
         for f in self.left_schema:
-            cols.append(pa.array(out[f.name].tolist(), type=f.type))
+            # null-aware: passthrough int/list feature columns from a chained
+            # upstream part arrive as pandas NaN-holding floats/objects
+            cols.append(_to_arrow_column(out[f.name].to_numpy(), f.type))
         for f, part in zip(self.out_fields, self.parts):
             cols.append(_to_arrow_column(out[part.output_column].to_numpy(), f.type))
         return pa.Table.from_arrays(cols, schema=pa.schema(list(self.left_schema) + self.out_fields))

@@ -47,8 +47,11 @@ def image_feature_group_by(table_path: str) -> GroupBy:
             Aggregation(Operation.COUNT, "views", windows=[Window(7, TimeUnit.DAYS)]),
             Aggregation(Operation.AVERAGE, "score", windows=[Window(7, TimeUnit.DAYS), Window(-1)]),
             Aggregation(Operation.LAST_K, "mean_lum", windows=[Window(7, TimeUnit.DAYS)], arg_map={"k": 3}),
+            # disc (nearest-rank) percentiles return actual data elements, so
+            # the SQL oracle (quantile_disc) reproduces them exactly
             Aggregation(Operation.APPROX_PERCENTILE, "contrast", windows=[Window(30, TimeUnit.DAYS)],
-                        arg_map={"k": 128, "percentiles": "[0.5, 0.95]"}),
+                        arg_map={"k": 128, "percentiles": "[0.5, 0.95]",
+                                 "interpolation": "disc"}),
             Aggregation(Operation.MAX, "edge_energy", windows=[Window(7, TimeUnit.DAYS)]),
         ],
         accuracy=Accuracy.TEMPORAL,

@@ -92,15 +92,22 @@ class _LshPlanes:
 
 
 def lsh_bucketed_topk(ds, query_vectors: np.ndarray, query_ids, vec_col: str, id_col: str,
-                      k: int, n_planes: int = 8):
+                      k: int, n_planes: int = 8, multiprobe: int = 1):
     """Approximate cosine top-k: corpus rows are pruned per batch to those
-    sharing an LSH hyperplane-sign bucket with at least one query (candidate
-    recall grows with fewer planes).  Same output schema as brute_force_topk."""
+    sharing an LSH hyperplane-sign bucket with at least one query.
+    multiprobe=H also probes buckets within Hamming distance H of each
+    query's signature (standard multi-probe LSH — recovers the recall lost
+    to near-boundary sign flips without shrinking the plane count)."""
     import ray
 
     q = np.asarray(query_vectors, dtype=np.float64)
     planes = _LshPlanes(q.shape[1], n_planes)
-    q_sigs = set(planes.signature(_normalize(q)).tolist())
+    base_sigs = set(planes.signature(_normalize(q)).tolist())
+    q_sigs = set(base_sigs)
+    frontier = set(base_sigs)
+    for _ in range(multiprobe):
+        frontier = {s ^ (1 << b) for s in frontier for b in range(n_planes)}
+        q_sigs |= frontier
     ref = ray.put(q)
     sig_ref = ray.put((planes.planes, q_sigs))
 

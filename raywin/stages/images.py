@@ -102,6 +102,17 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+def pixel_features(px: np.ndarray):
+    """(mean_lum, contrast, edge_energy) for a (n, h, w, 3) uint8 batch —
+    ONE definition shared by the decode stage and the truth-table generator
+    so oracle values are bitwise identical."""
+    lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    mean_lum = lum.mean(axis=(1, 2))
+    contrast = lum.std(axis=(1, 2))
+    edge_energy = np.abs(np.diff(lum, axis=2)).mean(axis=(1, 2))
+    return mean_lum, contrast, edge_energy
+
+
 class DecodeFeatures:
     """Actor-pool stage: decode payloads, verify invariants, emit pixel
     features (stateful setup in __init__ per the actor-pool pattern).
@@ -148,10 +159,7 @@ class DecodeFeatures:
                 if len(lossy_mse):
                     p = 10.0 * np.log10(255.0**2 / np.maximum(lossy_mse, 1e-12))
                     assert (p >= 40.0).all(), f"PSNR < 40 dB (min {p.min():.1f})"
-            lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-            mean_lum = lum.mean(axis=(1, 2))
-            contrast = lum.std(axis=(1, 2))
-            edge_energy = np.abs(np.diff(lum, axis=2)).mean(axis=(1, 2))
+            mean_lum, contrast, edge_energy = pixel_features(px)
         else:  # mixed sizes: per-row fallback
             mean_lum = np.empty(n)
             contrast = np.empty(n)
@@ -161,10 +169,10 @@ class DecodeFeatures:
                     orig = make_pixels(ids[i], p_.shape[1], p_.shape[0])
                     pv = psnr(orig, p_)
                     assert pv == float("inf") if fmts[i] == "png" else pv >= 40.0
-                lum = 0.299 * p_[..., 0] + 0.587 * p_[..., 1] + 0.114 * p_[..., 2]
-                mean_lum[i] = lum.mean()
-                contrast[i] = lum.std()
-                edge_energy[i] = np.abs(np.diff(lum, axis=1)).mean()
+                ml, ct, ee = pixel_features(p_[None, ...])
+                mean_lum[i] = ml[0]
+                contrast[i] = ct[0]
+                edge_energy[i] = ee[0]
         out = batch.drop_columns(["bytes"])  # payload does NOT ride further
         out = out.append_column("mean_lum", pa.array(mean_lum))
         out = out.append_column("contrast", pa.array(contrast))
@@ -178,7 +186,7 @@ class DecodeFeatures:
 
 # bump when make_pixels/make_caption/codecs change: cached /tmp tables from
 # an older generator would fail the decode invariant checks
-GENERATOR_VERSION = "v2-splitmix"
+GENERATOR_VERSION = "v3-truth"
 
 
 def cache_is_current(path: str) -> bool:
@@ -317,14 +325,28 @@ def _generate_image_file(path, fi, n, n_entities, seed, base_ts, span_days, skew
             .astype(np.uint64)
             .view(np.int64)
         )
-        per_id[image_id] = (png_encode(px), qimg_encode(px), make_caption(image_id), phash)
+        # truth features for BOTH decode paths (png = lossless original,
+        # qimg = dequantized round trip) — the ground the oracle stands on
+        q = px >> 2
+        deq = (q << 2) | (q >> 4)
+        f_png = pixel_features(px[None, ...])
+        f_q = pixel_features(deq[None, ...])
+        per_id[image_id] = (
+            png_encode(px), qimg_encode(px), make_caption(image_id), phash,
+            tuple(float(v[0]) for v in f_png), tuple(float(v[0]) for v in f_q),
+        )
     blobs, captions, phashes = [], [], np.empty(n, dtype=np.int64)
+    feats = np.empty((n, 3), dtype=np.float64)
     for i in range(n):
-        png_b, q_b, cap, ph = per_id[ids[i]]
-        blobs.append(png_b if fmts[i] == "png" else q_b)
+        png_b, q_b, cap, ph, f_png, f_q = per_id[ids[i]]
+        is_png = fmts[i] == "png"
+        blobs.append(png_b if is_png else q_b)
         captions.append(cap)
         phashes[i] = ph
-    score = rng.normal(0.5, 0.2, n)
+        feats[i] = f_png if is_png else f_q
+    # score is decimal-valued (3 digits) so float aggregates can use the
+    # engine's exact fixed-point path and match the SQL oracle bitwise
+    score = np.round(rng.normal(0.5, 0.2, n), 3)
     views = rng.integers(1, 1000, n)
     table = pa.table(
         {
@@ -341,4 +363,20 @@ def _generate_image_file(path, fi, n, n_entities, seed, base_ts, span_days, skew
         }
     )
     pq.write_table(table, os.path.join(path, f"part-{fi:04d}.parquet"))
+    truth = pa.table(
+        {
+            "image_id": pa.array(ids),
+            "ts": pa.array(ts.astype(np.int64)),
+            "phash": pa.array(phashes),
+            "score": pa.array(score),
+            "views": pa.array(views.astype(np.int64)),
+            "mean_lum": pa.array(feats[:, 0]),
+            "contrast": pa.array(feats[:, 1]),
+            "edge_energy": pa.array(feats[:, 2]),
+        }
+    )
+    # sibling dir: the event table path is scanned whole by the pipeline
+    truth_dir = path.rstrip("/") + "_truth"
+    os.makedirs(truth_dir, exist_ok=True)
+    pq.write_table(truth, os.path.join(truth_dir, f"truth-{fi:04d}.parquet"))
     return path
