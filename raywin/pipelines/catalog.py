@@ -1291,6 +1291,177 @@ FROM p
 """
 
 
+# ----------------------------------------------- list / map column inputs
+
+
+def list_explode_agg(sf_dir: str):
+    """Auto-explode aggregation over a ``list<int64>`` column (reference
+    ColumnAggregator.scala:79-116 VectorDispatcher): every element of the
+    embeddings table's vector aggregates as its own row.  Elements are
+    integerized in the Query select (round(x*1000)) so every aggregate is
+    integer-exact and the SQL oracle reproduces it bitwise."""
+    import ray.data
+
+    from .group_by import features_for_queries
+
+    src = EventSource(
+        table=f"{sf_dir}/embeddings.parquet",
+        query=Query(
+            selects={
+                "label": "label",
+                "emb": "list_transform(CAST(embedding AS DOUBLE[]),"
+                       " x -> CAST(round(x * 1000) AS BIGINT))",
+            },
+            time_column="1600000000000 + vec_id * 60000",
+        ),
+    )
+    gb = GroupBy(
+        sources=[src],
+        key_columns=["label"],
+        aggregations=[
+            Aggregation(Operation.SUM, "emb", windows=[Window(1, TimeUnit.DAYS), Window(-1)]),
+            Aggregation(Operation.COUNT, "emb", windows=[Window(1, TimeUnit.DAYS)]),
+            Aggregation(Operation.AVERAGE, "emb"),
+            Aggregation(Operation.MAX, "emb"),
+            Aggregation(Operation.TOP_K, "emb", arg_map={"k": 3}),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="listagg",
+    )
+    left = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+        .map_batches(
+            lambda df: df.assign(ts=1600000000000 + df["vec_id"].astype("int64") * 60000)[
+                ["label", "ts"]
+            ],
+            batch_format="pandas",
+        )
+        .groupby("label")
+        .map_groups(lambda g: g.sort_values("ts").tail(1).assign(ts=lambda d: d["ts"] + 1),
+                    batch_format="pandas")
+    )
+    return features_for_queries(gb, left, num_buckets=4)
+
+
+LIST_EXPLODE_SQL = f"""
+WITH e AS (SELECT label, 1600000000000 + vec_id * 60000 AS ts,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(round(x * 1000) AS BIGINT)) AS emb
+           FROM embeddings),
+q AS (SELECT label, max(ts) + 1 AS ts FROM e GROUP BY label),
+x AS (SELECT label, ts, unnest(emb) AS v FROM e),
+p AS (SELECT q.label, q.ts, x.v, x.ts AS ets
+      FROM q LEFT JOIN x ON x.label = q.label AND x.ts < q.ts)
+SELECT label, ts,
+  CAST(sum(v) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}) AS BIGINT) AS emb_sum_1d,
+  CAST(sum(v) AS BIGINT) AS emb_sum,
+  nullif(count(v) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}), 0) AS emb_count_1d,
+  CAST(sum(v) AS DOUBLE) / count(v) AS emb_average,
+  max(v) AS emb_max,
+  CAST((list(v ORDER BY v DESC) FILTER (WHERE v IS NOT NULL))[1:3] AS DOUBLE[]) AS emb_top3
+FROM p GROUP BY label, ts
+"""
+
+
+def map_column_agg(sf_dir: str):
+    """Per-key aggregation of a ``map<string,int64>`` column (reference
+    MapColumnAggregator.scala:1-75): the Query select builds a two-key map
+    from the events table (json prop + scaled value); output map columns are
+    exploded to (key, value) rows for the oracle compare (same convention as
+    asof_histogram)."""
+    from .group_by import features_for_queries
+
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={
+                "event_type": "event_type",
+                "m": "map(['k', 'v'],"
+                     " [CAST(json_extract_string(props, '$.k') AS BIGINT),"
+                     "  CAST(round(value * 100) AS BIGINT)])",
+            },
+            time_column="epoch_ms(ts)",
+            wheres=["event_type IS NOT NULL"],
+        ),
+    )
+    gb = GroupBy(
+        sources=[src],
+        key_columns=["event_type"],
+        aggregations=[
+            Aggregation(Operation.SUM, "m", windows=[Window(7, TimeUnit.DAYS), Window(-1)]),
+            Aggregation(Operation.COUNT, "m", windows=[Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.MAX, "m"),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="mapagg",
+    )
+    left = (
+        _events_ds(sf_dir, ["event_type", "ts"])
+        .map_batches(
+            lambda df: df.assign(ts=df["ts"].astype("int64") // 1000 + 1).dropna(
+                subset=["event_type"]
+            ),
+            batch_format="pandas",
+        )
+        .groupby("event_type")
+        .map_groups(lambda g: g.sort_values("ts").tail(1), batch_format="pandas")
+    )
+    feats = features_for_queries(gb, left, num_buckets=4)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cols = ["m_sum_7d", "m_sum", "m_count_7d", "m_max"]
+        data = {c: batch[c].to_pylist() for c in cols}
+        et, ts = batch["event_type"].to_pylist(), batch["ts"].to_pylist()
+        rows = {"event_type": [], "ts": [], "mkey": []}
+        out_vals: dict[str, list] = {c: [] for c in cols}
+        for i in range(len(et)):
+            keys = set()
+            maps = {}
+            for c in cols:
+                m = data[c][i]
+                m = dict(m) if m is not None else {}
+                maps[c] = m
+                keys |= set(m)
+            for k in sorted(keys):
+                rows["event_type"].append(et[i])
+                rows["ts"].append(ts[i])
+                rows["mkey"].append(k)
+                for c in cols:
+                    out_vals[c].append(maps[c].get(k))
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], type=pa.string()),
+                "ts": pa.array(rows["ts"], type=pa.int64()),
+                "mkey": pa.array(rows["mkey"], type=pa.string()),
+                "m_sum_7d": pa.array(out_vals["m_sum_7d"], type=pa.int64()),
+                "m_sum": pa.array(out_vals["m_sum"], type=pa.int64()),
+                "m_count_7d": pa.array(out_vals["m_count_7d"], type=pa.int64()),
+                "m_max": pa.array(out_vals["m_max"], type=pa.int64()),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+MAP_COLUMN_SQL = f"""
+WITH e0 AS (SELECT event_type, epoch_ms(ts) AS ts,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv,
+                   CAST(round(value * 100) AS BIGINT) AS sv
+            FROM events WHERE event_type IS NOT NULL),
+q AS (SELECT event_type, max(ts) + 1 AS ts FROM e0 GROUP BY event_type),
+x AS (SELECT event_type, ts, 'k' AS mkey, kv AS v FROM e0
+      UNION ALL SELECT event_type, ts, 'v', sv FROM e0),
+p AS (SELECT q.event_type, q.ts, x.mkey, x.v, x.ts AS ets
+      FROM q JOIN x ON x.event_type = q.event_type AND x.ts < q.ts)
+SELECT event_type, ts, mkey,
+  CAST(sum(v) FILTER (WHERE ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}) AS BIGINT) AS m_sum_7d,
+  CAST(sum(v) AS BIGINT) AS m_sum,
+  nullif(count(v) FILTER (WHERE ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}), 0) AS m_count_7d,
+  max(v) AS m_max
+FROM p GROUP BY event_type, ts, mkey
+"""
+
+
 def session_stats_30m(sf_dir: str):
     from ..stages.sequence import sessionize
 
@@ -1348,6 +1519,8 @@ ORACLE_QUERIES.update(
         "approx_sketches": (approx_distinct_users, APPROX_SKETCHES_SQL),
         "lsh_ann": (lsh_ann_docs, LSH_ANN_SQL),
         "drift_stats": (drift_stats_demo, DRIFT_STATS_SQL),
+        "list_explode_agg": (list_explode_agg, LIST_EXPLODE_SQL),
+        "map_column_agg": (map_column_agg, MAP_COLUMN_SQL),
     }
 )
 

@@ -108,9 +108,32 @@ def _to_arrow_column(values, typ: pa.DataType) -> pa.Array:
         clean = [None if v is None or (isinstance(v, float) and np.isnan(v)) else int(v) for v in arr]
         return pa.array(clean, type=typ)
     if pa.types.is_map(typ):
-        clean = [None if v is None else sorted(v.items()) for v in arr]
+        clean = []
+        for v in arr:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                clean.append(None)
+            elif isinstance(v, dict):
+                clean.append(sorted(v.items()))
+            else:  # arrow->pandas round trip yields list-of-(key, value)
+                clean.append([tuple(t) for t in v])
         return pa.array(clean, type=typ)
-    return pa.array(list(arr), type=typ)
+    return pa.array(list(arr), type=typ, from_pandas=True)
+
+
+def _pandas_to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """Rebuild an Arrow block from a pandas block using the KNOWN schema.
+
+    Ray's sort shuffle can fall back to pandas blocks (an empty pandas block
+    riding the union poisons the reduce-side concat), and generic
+    pandas->arrow inference cannot reconstruct map/list columns."""
+    n = len(df)
+    cols = []
+    for f in schema:
+        if f.name in df.columns:
+            cols.append(_to_arrow_column(df[f.name].to_numpy(), f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
 
 
 class PartitionKernel:
@@ -127,8 +150,10 @@ class PartitionKernel:
         head_rounding: int = 1,
         tie_breaker: str | None = None,
         dedupe_queries: bool = False,
+        union_schema: pa.Schema | None = None,
     ):
         self.__name__ = "PartitionKernel"  # ray map_groups wraps plain fns
+        self.union_schema = union_schema
         self.key_cols = key_cols
         self.parts = parts
         self.left_schema = left_schema
@@ -143,7 +168,10 @@ class PartitionKernel:
             key_cols, parts, resolution, head_rounding, tie_breaker, dedupe_queries
         )
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, group) -> pa.Table:
+        if isinstance(group, pd.DataFrame):
+            # sort-shuffle pandas fallback: rebuild with the declared schema
+            group = _pandas_to_arrow(group, self.union_schema)
         side = group[SIDE_COL].to_numpy(zero_copy_only=False)
         left_names = [n for n in self.left_schema.names]
         is_left = side == 0
@@ -296,8 +324,12 @@ def features_for_queries(
         head_rounding,
         group_by.tie_breaker,
         dedupe_queries,
+        union_schema=unified.append(pa.field(BUCKET_COL, pa.int32())),
     )
-    out = bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format="pyarrow")
+    # batch_format=None: take blocks as-is; the kernel handles the sort
+    # shuffle's occasional pandas-block fallback itself (map/list inputs do
+    # not survive generic pandas->arrow inference)
+    out = bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format=None)
     out_cols = list(l_arrow.names) + [p.output_column for p in parts]
     out = out.select_columns(out_cols)
     if group_by.derivations:
