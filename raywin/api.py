@@ -255,6 +255,27 @@ class Derivation:
 
 
 @dataclass
+class BootstrapPart:
+    """Precomputed feature rows (e.g. logged online serving values) joined
+    onto the left BEFORE backfill; left rows whose bootstrap columns fully
+    cover a join part's outputs skip that part's computation entirely
+    (reference api.thrift:375-385, Join.computeBootstrapTable
+    Join.scala:464-558, CoveringSet Join.scala:49-64,136-217)."""
+
+    table: str
+    query: "Query" = None  # type: ignore[assignment]
+    key_columns: Optional[list[str]] = None  # default: join.row_ids
+    semantic_hash: Optional[str] = None  # default: derived from table path
+
+    def __post_init__(self):
+        if self.query is None:
+            self.query = Query()
+
+    def hash_value(self) -> str:
+        return self.semantic_hash or semantic_hash({"table": self.table})
+
+
+@dataclass
 class Join:
     """Left table of (keys..., ts) enriched with the as-of value of many
     GroupBys (reference api.thrift:300-372)."""
@@ -265,6 +286,7 @@ class Join:
     skew_keys: Optional[dict[str, list[str]]] = None
     derivations: Optional[list[Derivation]] = None
     row_ids: Optional[list[str]] = None
+    bootstrap_parts: Optional[list[BootstrapPart]] = None
 
 
 def semantic_hash(obj) -> str:

@@ -1291,6 +1291,93 @@ FROM p
 """
 
 
+# ------------------------------------------------------- bootstrap parts
+
+
+def _bootstrap_fixture(sf_dir: str) -> tuple[str, str]:
+    """Deterministic bootstrap tables derived from the sf events table:
+    table A covers BOTH part outputs for event_id%3==0 (sentinel values),
+    table B provides only the sum for event_id%3==1 (partial coverage)."""
+    import os
+
+    import duckdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/raywin_bootstrap_{tag}"
+    a, b = f"{root}/bs_a.parquet", f"{root}/bs_b.parquet"
+    if not (os.path.exists(a) and os.path.exists(b)):
+        os.makedirs(root, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            f"""COPY (SELECT event_id,
+                     CAST(-1000.0 - event_id AS DOUBLE) AS p1_usersum_value_sum_7d,
+                     CAST(10000 + event_id AS BIGINT) AS p1_usersum_value_count_7d
+              FROM '{sf_dir}/events.parquet' WHERE event_id % 3 = 0)
+              TO '{a}' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""COPY (SELECT event_id,
+                     CAST(-5000.0 - event_id AS DOUBLE) AS p1_usersum_value_sum_7d
+              FROM '{sf_dir}/events.parquet' WHERE event_id % 3 = 1)
+              TO '{b}' (FORMAT PARQUET)"""
+        )
+        con.close()
+    return a, b
+
+
+def bootstrap_join(sf_dir: str):
+    """Join backfill with bootstrap parts + covering sets (reference
+    Join.scala:464-558,136-217): covered rows keep bootstrap values and skip
+    the part's kernel; partially-covered rows coalesce bootstrap over
+    computed; the rest backfill normally."""
+    from .join import backfill_join
+
+    bs_a, bs_b = _bootstrap_fixture(sf_dir)
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.SUM, "value", windows=[Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.COUNT, "value", windows=[Window(7, TimeUnit.DAYS)]),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="usersum",
+    )
+    from ..api import BootstrapPart
+
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(group_by=gb, prefix="p1")],
+        row_ids=["event_id"],
+        bootstrap_parts=[
+            BootstrapPart(table=bs_a, semantic_hash="bsA"),
+            BootstrapPart(table=bs_b, semantic_hash="bsB"),
+        ],
+        name="bootstrap_join",
+    )
+    return backfill_join(join, num_buckets=N_BUCKETS)
+
+
+BOOTSTRAP_JOIN_SQL = f"""
+WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts, value,
+                  CAST(round(value * 100) AS BIGINT) AS sv FROM events),
+c AS (SELECT l.event_id,
+        CAST(sum(r.sv) FILTER (WHERE r.ts < l.ts
+              AND r.ts >= (l.ts - {7 * DAY})//{HOUR}*{HOUR}) AS DOUBLE)/100.0 AS sum7,
+        nullif(count(r.value) FILTER (WHERE r.ts < l.ts
+              AND r.ts >= (l.ts - {7 * DAY})//{HOUR}*{HOUR}), 0) AS cnt7
+      FROM e l LEFT JOIN e r ON r.user_id = l.user_id
+      GROUP BY l.event_id, l.ts)
+SELECT e.event_id, e.user_id, e.ts,
+  CASE WHEN e.event_id % 3 = 0 THEN -1000.0 - e.event_id
+       WHEN e.event_id % 3 = 1 THEN -5000.0 - e.event_id
+       ELSE c.sum7 END AS p1_usersum_value_sum_7d,
+  CASE WHEN e.event_id % 3 = 0 THEN CAST(10000 + e.event_id AS BIGINT)
+       ELSE c.cnt7 END AS p1_usersum_value_count_7d
+FROM e JOIN c ON c.event_id = e.event_id
+"""
+
+
 # ----------------------------------------------- list / map column inputs
 
 
@@ -1521,6 +1608,7 @@ ORACLE_QUERIES.update(
         "drift_stats": (drift_stats_demo, DRIFT_STATS_SQL),
         "list_explode_agg": (list_explode_agg, LIST_EXPLODE_SQL),
         "map_column_agg": (map_column_agg, MAP_COLUMN_SQL),
+        "bootstrap_join": (bootstrap_join, BOOTSTRAP_JOIN_SQL),
     }
 )
 

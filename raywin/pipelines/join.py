@@ -120,6 +120,60 @@ def part_features_chained(
     return feats.rename_columns(_part_renames(part, invert_keys=True))
 
 
+def _chain_part_with_bootstrap(
+    part: JoinPart,
+    out_ds,
+    covering: set[str] | None,
+    num_buckets: int,
+    n_left: int | None,
+):
+    """Chained enrichment honoring bootstrap: rows whose matched-hash combo
+    covers this part keep their bootstrap values and bypass the kernel
+    shuffle; the rest compute, then COALESCE bootstrap over computed
+    (reference covering-set skip Join.scala:300-341 + coalescedJoin
+    JoinUtils.scala:138-173)."""
+    import pyarrow.compute as pc
+
+    from .bootstrap import _BS_PREFIX, split_covered
+
+    out_cols = [f"{part.full_prefix}{c}" for c in part.group_by.output_columns()]
+    schema_names = out_ds.schema().names
+    present = [c for c in out_cols if c in schema_names]
+
+    def enrich(ds):
+        if present:
+            ds = ds.rename_columns({c: _BS_PREFIX + c for c in present})
+        feats = part_features_chained(part, ds, num_buckets, n_left=n_left)
+        if not present:
+            return feats
+
+        def coal(batch: pa.Table) -> pa.Table:
+            for c in present:
+                tmp = _BS_PREFIX + c
+                merged = pc.coalesce(
+                    pc.cast(batch[tmp], batch[c].type), batch[c]
+                )
+                batch = batch.set_column(
+                    batch.column_names.index(c), c, merged
+                ).drop_columns([tmp])
+            return batch
+
+        return feats.map_batches(coal, batch_format="pyarrow")
+
+    if not covering:
+        return enrich(out_ds)
+    covered, uncovered = split_covered(out_ds, covering)
+    feats = enrich(uncovered)
+    from .group_by import _arrow_schema
+    from ..stages.shuffle import pad_to_schema
+
+    f_schema = _arrow_schema(feats)
+    covered = covered.map_batches(
+        lambda b: pad_to_schema(b, f_schema), batch_format="pyarrow"
+    )
+    return covered.union(feats)
+
+
 def part_features(
     part: JoinPart,
     left_ds,
@@ -166,14 +220,24 @@ def backfill_join(
     (keys, ts) — cheaper when many left rows share (keys, ts)."""
     left = scan_source(join.left)
     left = _skew_filter(left, join.skew_keys)
-    if materialize_intermediates:
+    bs_cover: dict[int, set[str]] = {}
+    if join.bootstrap_parts:
+        assert assembly == "chain", "bootstrap parts require the chained assembly"
+        from .bootstrap import bootstrap_left, covering_combos
+
+        left, hash_to_cols = bootstrap_left(left, join, num_buckets)
+        left = left.materialize()  # feeds the combo scan AND the part chain
+        bs_cover = covering_combos(left, join, hash_to_cols)
+    elif materialize_intermediates:
         left = left.materialize()
     out = left
 
     if assembly == "chain":
         n_left = left.count() if join.join_parts else 0
-        for part in join.join_parts:
-            out = part_features_chained(part, out, num_buckets, n_left=n_left)
+        for i, part in enumerate(join.join_parts):
+            out = _chain_part_with_bootstrap(
+                part, out, bs_cover.get(i), num_buckets, n_left
+            )
             if materialize_intermediates and part is not join.join_parts[-1]:
                 out = out.materialize()
     else:
@@ -194,6 +258,11 @@ def backfill_join(
         for feats, left_keys in part_tables:
             join_keys = list(dict.fromkeys(left_keys + ["ts"]))
             out = bucketed_left_join(out, feats, join_keys, num_buckets=num_buckets, how="left")
+    if join.bootstrap_parts:
+        from .bootstrap import MATCHED_HASHES
+
+        # processing metadata never reaches the output (Join.scala:253-255)
+        out = out.drop_columns([MATCHED_HASHES])
     if join.derivations:
         out = apply_derivations(out, join.derivations, out.schema().names)
     return out
