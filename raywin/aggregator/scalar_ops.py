@@ -412,6 +412,96 @@ class Histogram(ScalarOp):
         return dict(ir)
 
 
+class ApproxHistogramK(ScalarOp):
+    """Hybrid exact->frequent-items histogram with BOUNDED IR memory
+    (reference ApproxHistogram, SimpleAggregators.scala:459-601: exact
+    HashMap while <= mapSize keys, converted to an ItemsSketch once the map
+    would exceed mapSize).
+
+    IR = ("E", {item: count}) exact, or ("S", {item: [est, err]}) sketch.
+    The sketch is deterministic space-saving (Metwally et al., "Efficient
+    computation of frequent and top-k elements in data streams"): at most
+    ``capacity`` retained counters; on overflow the minimum-estimate counter
+    (ties broken by key, ascending) is evicted and the newcomer inherits its
+    estimate as guaranteed error.  Guarantees: est >= true count and
+    est - err <= true count; any item with true count > n/capacity is
+    retained.  capacity = 4 * mapSize rounded up to a power of two (the
+    ItemsSketch sizing convention).
+
+    Exact mode finalizes to the full map (reference toOutputMap — no
+    truncation); sketch mode finalizes to the NO_FALSE_NEGATIVES-style
+    estimate map {item: est} of all retained counters.
+    """
+
+    def __init__(self, map_size: int = 8):
+        self.map_size = max(1, int(map_size))
+        cap = 1
+        while cap < 4 * self.map_size:
+            cap *= 2
+        self.capacity = cap
+
+    def prepare(self, v, ts=None):
+        return ("E", {str(v): 1})
+
+    def _sketch_update(self, d, key, w):
+        if key in d:
+            d[key][0] += w
+        elif len(d) < self.capacity:
+            d[key] = [w, 0]
+        else:
+            evict = min(d, key=lambda k: (d[k][0], k))
+            m = d.pop(evict)[0]
+            d[key] = [m + w, m]
+        return d
+
+    def _to_ir(self, hist):
+        if len(hist) <= self.map_size:
+            return ("E", hist)
+        d = {}
+        for k in sorted(hist):
+            self._sketch_update(d, k, hist[k])
+        return ("S", d)
+
+    def update(self, ir, v, ts=None):
+        tag, d = ir
+        key = str(v)
+        if tag == "E":
+            d[key] = d.get(key, 0) + 1
+            return self._to_ir(d)
+        return ("S", self._sketch_update(d, key, 1))
+
+    def merge(self, ir1, ir2):
+        t1, d1 = ir1
+        t2, d2 = ir2
+        if t1 == "E" and t2 == "E":
+            for k, c in d2.items():
+                d1[k] = d1.get(k, 0) + c
+            return self._to_ir(d1)
+        if t1 == "E":
+            t1, d1, t2, d2 = t2, d2, t1, d1
+        if t2 == "E":  # fold exact histogram into the sketch (weighted updates)
+            for k in sorted(d2):
+                self._sketch_update(d1, k, d2[k])
+            return ("S", d1)
+        # sketch + sketch: sum estimates/errors, keep top-capacity counters
+        for k, (est, err) in d2.items():
+            if k in d1:
+                d1[k][0] += est
+                d1[k][1] += err
+            else:
+                d1[k] = [est, err]
+        if len(d1) > self.capacity:
+            keep = sorted(d1, key=lambda k: (-d1[k][0], k))[: self.capacity]
+            d1 = {k: d1[k] for k in keep}
+        return ("S", d1)
+
+    def finalize(self, ir):
+        tag, d = ir
+        if tag == "E":
+            return dict(d)
+        return {k: int(est) for k, (est, err) in sorted(d.items())}
+
+
 class ApproxUniqueCount(ScalarOp):
     """HLL-style distinct-count sketch (stands in for the reference's CPC,
     SimpleAggregators.scala:716-760; same IR contract: binary-mergeable)."""
@@ -505,7 +595,7 @@ def make_scalar_op(part: AggregationPart) -> ScalarOp:
     if op is Operation.HISTOGRAM:
         return Histogram(int(k) if k else 0)
     if op is Operation.APPROX_HISTOGRAM_K:
-        return Histogram(int(k) if k else 8)
+        return ApproxHistogramK(int(k) if k else 8)
     if op is Operation.APPROX_UNIQUE_COUNT:
         lgk = part.arg("lgk")
         return ApproxUniqueCount(int(lgk) if lgk else 8)

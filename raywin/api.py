@@ -216,10 +216,22 @@ class GroupBy:
     sources: list[Source]
     key_columns: list[str]
     aggregations: Optional[list[Aggregation]] = None  # None => keyed passthrough
-    accuracy: Accuracy = Accuracy.TEMPORAL
+    accuracy: Optional[Accuracy] = None  # None => inferred (see inferred_accuracy)
     name: str = "group_by"
     derivations: Optional[list["Derivation"]] = None
     tie_breaker: Optional[str] = None  # column for deterministic ts-tie ordering
+
+    @property
+    def inferred_accuracy(self) -> Accuracy:
+        """Explicit accuracy wins; otherwise a streaming source (event topic /
+        CDC mutation feed) implies TEMPORAL, batch-only implies SNAPSHOT
+        (reference Extensions.scala:478-487 inferredAccuracy)."""
+        if self.accuracy is not None:
+            return self.accuracy
+        for s in self.sources:
+            if getattr(s, "topic", None) or getattr(s, "mutation_table", None):
+                return Accuracy.TEMPORAL
+        return Accuracy.SNAPSHOT
 
     def agg_parts(self) -> list[AggregationPart]:
         parts: list[AggregationPart] = []

@@ -268,6 +268,55 @@ def asof_histogram_exploded(sf_dir: str):
     return feats.map_batches(explode, batch_format="pyarrow")
 
 
+def approx_histogram_exploded(sf_dir: str):
+    """APPROX_HISTOGRAM_K end-to-end THROUGH THE SKETCH PATH: map_size k=2
+    forces the exact->space-saving transition on nearly every IR (5 distinct
+    event types > 2), while capacity (4*k rounded to pow2 = 8) exceeds the
+    true cardinality so no counter is ever evicted — the sketch estimates are
+    exact and the DuckDB oracle can be an exact histogram (reference
+    ApproxHistogram, SimpleAggregators.scala:459-601)."""
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "event_type": "event_type"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(
+                Operation.APPROX_HISTOGRAM_K, "event_type",
+                windows=[Window(7, TimeUnit.DAYS)], arg_map={"k": 2},
+            )
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="ahist",
+    )
+    from .group_by import features_for_queries
+
+    feats = features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        users, tss, types, cnts = [], [], [], []
+        col = batch["event_type_approx_histogram_k_7d"].to_pylist()
+        u = batch["user_id"].to_pylist()
+        t = batch["ts"].to_pylist()
+        for i, m in enumerate(col):
+            if m is None:
+                continue
+            items = m.items() if isinstance(m, dict) else m
+            for k, v in items:
+                users.append(u[i])
+                tss.append(t[i])
+                types.append(k)
+                cnts.append(v)
+        return pa.table(
+            {
+                "user_id": pa.array(users, type=pa.int64()),
+                "ts": pa.array(tss, type=pa.int64()),
+                "event_type": pa.array(types, type=pa.string()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
 ASOF_HISTOGRAM_SQL = f"""
 WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts FROM events),
 q AS (SELECT DISTINCT user_id, ts FROM e)
@@ -371,6 +420,7 @@ def join_enrich(sf_dir: str):
             Aggregation(Operation.SUM, "value", windows=[Window(7, TimeUnit.DAYS)]),
             Aggregation(Operation.COUNT, "value"),
         ],
+        accuracy=Accuracy.TEMPORAL,
         name="user_stats",
     )
     type_gb = GroupBy(
@@ -383,6 +433,7 @@ def join_enrich(sf_dir: str):
         ],
         key_columns=["etype"],
         aggregations=[Aggregation(Operation.AVERAGE, "value", windows=[Window(1, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
         name="type_stats",
     )
     join = Join(
@@ -1582,6 +1633,7 @@ ORACLE_QUERIES = {
     "asof_moments": (asof_moments, ASOF_MOMENTS_SQL),
     "asof_distinct_topk": (asof_distinct_topk, ASOF_DISTINCT_SQL),
     "asof_histogram": (asof_histogram_exploded, ASOF_HISTOGRAM_SQL),
+    "approx_histogram": (approx_histogram_exploded, ASOF_HISTOGRAM_SQL),
     "lag_lead": (lag_lead_events, LAG_LEAD_SQL),
     "sessionize": (sessionize_30m, SESSIONIZE_SQL),
     "snapshot_daily": (snapshot_daily, SNAPSHOT_SQL),

@@ -54,6 +54,12 @@ def snapshot_entity_features(group_by: GroupBy, num_buckets: int = 32):
 
     src = group_by.sources[0]
     assert isinstance(src, EntitySource)
+    if not group_by.aggregations:
+        # no-aggregation GroupBy = keyed passthrough of the scanned snapshot
+        # (reference GroupBy.scala:137-141: `if (aggregations == null) inputDf`)
+        from ..sources.io import scan_source
+
+        return scan_source(src)
     ds_ = ray.data.read_parquet(src.snapshot_table)
     parts = group_by.agg_parts()
     key_cols = group_by.key_columns

@@ -242,15 +242,22 @@ def features_for_queries(
     (keys, ts) left rows are deduplicated inside the co-partition shuffle
     (left must then carry only keys+ts).
     """
+    if not group_by.aggregations:
+        raise ValueError(
+            f"GroupBy '{group_by.name}' has no aggregations: the keyed "
+            "passthrough form is only valid over entity snapshots "
+            "(snapshot_entity_features; reference GroupBy.scala:137-141), "
+            "not the point-in-time query path"
+        )
     if resolution is None:
         resolution = (
-            FiveMinuteResolution if group_by.accuracy is Accuracy.TEMPORAL else DailyResolution
+            FiveMinuteResolution if group_by.inferred_accuracy is Accuracy.TEMPORAL else DailyResolution
         )
     if head_rounding is None:
         # SNAPSHOT accuracy = features "as of last midnight before the query"
         # (reference Extensions.scala snapshot semantics): round the window
         # head down to the day; TEMPORAL keeps the exact-millisecond head.
-        head_rounding = 1 if group_by.accuracy is Accuracy.TEMPORAL else MILLIS_DAY
+        head_rounding = 1 if group_by.inferred_accuracy is Accuracy.TEMPORAL else MILLIS_DAY
     if right_ds is None:
         right_ds = events_dataset(group_by)
     parts = group_by.agg_parts()

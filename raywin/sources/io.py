@@ -4,9 +4,12 @@ Mirrors the reference's renderDataSourceQuery (spark/.../GroupBy.scala:610-689):
 per-source select/where/time mapping applied at scan time, multiple sources
 unioned aligned by column name (GroupBy.scala:486-490).
 
-Tables are parquet paths here (the production target is a Lance/parquet lake;
-this container has no `lance`, so `read_table` routes everything through
-``ray.data.read_parquet`` — swap in ``read_lance`` on a real deployment).
+Tables are parquet or Lance paths (BASELINE mandates a Lance image+caption
+lake as the production target).  ``read_table`` dispatches on the dataset
+format: a ``*.lance`` directory goes through ``ray.data.read_lance`` when the
+``lance`` wheel is importable (it is absent in this container — the path is
+gated behind a try-import with a clear error), everything else through
+``ray.data.read_parquet``.  Both honor projection pushdown.
 """
 
 from __future__ import annotations
@@ -19,8 +22,26 @@ import ray.data
 from ..api import EventSource, EntitySource, Query
 from ..stages.query import apply_query, referenced_columns
 
+try:  # optional: the production Lance lake reader
+    import lance as _lance
+except ImportError:  # pragma: no cover - container has no lance wheel
+    _lance = None
+
+
+def _is_lance(path: str) -> bool:
+    return path.rstrip("/").endswith(".lance") or (
+        os.path.isdir(path) and os.path.isdir(os.path.join(path, "_versions"))
+    )
+
 
 def table_schema(path: str):
+    if _is_lance(path):
+        if _lance is None:
+            raise ImportError(
+                f"{path} is a Lance dataset but the `lance` package is not "
+                "installed; install pylance or convert the table to parquet"
+            )
+        return _lance.dataset(path).schema
     if os.path.isdir(path):
         for f in sorted(os.listdir(path)):
             if f.endswith(".parquet"):
@@ -31,8 +52,15 @@ def table_schema(path: str):
 
 def read_table(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """Columnar scan with projection pushdown — only needed columns leave
-    storage (pass filters via Query.wheres; row-group pruning is handled by
-    the parquet reader)."""
+    storage (pass filters via Query.wheres; row-group/fragment pruning is
+    handled by the reader)."""
+    if _is_lance(path):
+        if _lance is None:
+            raise ImportError(
+                f"{path} is a Lance dataset but the `lance` package is not "
+                "installed; install pylance or convert the table to parquet"
+            )
+        return ray.data.read_lance(path, columns=columns)
     return ray.data.read_parquet(path, columns=columns)
 
 

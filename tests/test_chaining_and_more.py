@@ -36,6 +36,7 @@ def _user_gb():
         ],
         key_columns=["user_id"],
         aggregations=[Aggregation(Operation.SUM, "value", windows=[Window(7, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
         name="u",
     )
 
@@ -96,6 +97,7 @@ def test_label_join(ray_session):
         ],
         key_columns=["user_id"],
         aggregations=[Aggregation(Operation.COUNT, "value", windows=[Window(1, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
         name="lbl",
     )
     out = label_join(feats, label_gb, label_offset_ms=DAY, key_cols=["user_id"], num_buckets=4).to_pandas()
@@ -188,3 +190,17 @@ def test_zero_leakage_image_pipeline(ray_session, tmp_path):
     assert len(m) == len(oracle) == len(out)
     x, y = m["cnt"].astype(float), m["views_count_7d"].astype(float)
     assert ((x.isna() & y.isna()) | (x == y)).all()
+
+
+def test_lance_path_detection():
+    """Lance tables are detected and route to read_lance (gated on the wheel
+    being present; this container has none, so the error must be clear)."""
+    from raywin.sources.io import _is_lance, _lance, read_table
+
+    assert _is_lance("/data/images.lance")
+    assert not _is_lance(f"{SF_DIR}/events.parquet")
+    if _lance is None:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="lance"):
+            read_table("/data/images.lance")

@@ -189,3 +189,55 @@ def test_snapshot_entities(ray_session, entity_tables):
     assert len(merged) == len(oracle) == len(out)
     assert np.allclose(merged["rating_sum_o"], merged["rating_sum_g"])
     assert np.allclose(merged["rating_max_o"], merged["rating_max_g"])
+
+
+def test_noagg_passthrough_snapshot(ray_session, entity_tables):
+    """aggregations=None => keyed passthrough of the scanned snapshot
+    (reference GroupBy.scala:137-141)."""
+    snap_path, mut_path, snap_rows, _ = entity_tables
+    gb = GroupBy(
+        sources=[EntitySource(snapshot_table=snap_path,
+                              query=Query(selects={"k": "k", "rating": "rating", "ds": "ds"}))],
+        key_columns=["k"],
+        name="dim_pass",
+    )
+    out = snapshot_entity_features(gb, num_buckets=4).to_pandas()
+    df = pd.DataFrame(snap_rows, columns=["k", "rating", "ts", "ds"])
+    assert sorted(out.columns) == ["ds", "k", "rating"]
+    assert len(out) == len(df)
+    a = out.sort_values(["k", "ds", "rating"]).reset_index(drop=True)
+    b = df[["k", "rating", "ds"]].sort_values(["k", "ds", "rating"]).reset_index(drop=True)
+    assert np.allclose(a["rating"], b["rating"]) and (a["k"].values == b["k"].values).all()
+
+
+def test_accuracy_inference():
+    """Explicit accuracy wins; topic/mutation feed => TEMPORAL; batch-only =>
+    SNAPSHOT (reference Extensions.scala:478-487)."""
+    from raywin.api import EventSource
+
+    ev_batch = GroupBy(sources=[EventSource(table="/tmp/x.parquet")], key_columns=["k"])
+    assert ev_batch.inferred_accuracy is Accuracy.SNAPSHOT
+    ev_stream = GroupBy(
+        sources=[EventSource(table="/tmp/x.parquet", topic="events_topic")], key_columns=["k"]
+    )
+    assert ev_stream.inferred_accuracy is Accuracy.TEMPORAL
+    ent_cdc = GroupBy(
+        sources=[EntitySource(snapshot_table="/tmp/s.parquet", mutation_table="/tmp/m.parquet")],
+        key_columns=["k"],
+    )
+    assert ent_cdc.inferred_accuracy is Accuracy.TEMPORAL
+    explicit = GroupBy(
+        sources=[EventSource(table="/tmp/x.parquet", topic="t")],
+        key_columns=["k"],
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    assert explicit.inferred_accuracy is Accuracy.SNAPSHOT
+
+
+def test_noagg_rejected_on_query_path():
+    from raywin.api import EventSource
+    from raywin.pipelines.group_by import features_for_queries
+
+    gb = GroupBy(sources=[EventSource(table="/tmp/x.parquet")], key_columns=["k"], name="nak")
+    with pytest.raises(ValueError, match="no aggregations"):
+        features_for_queries(gb, None)

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from raywin.api import (
+    Accuracy,
     Aggregation,
     Derivation,
     EventSource,
@@ -38,6 +39,7 @@ def _user_gb():
             Aggregation(Operation.SUM, "value", windows=[Window(7, TimeUnit.DAYS)]),
             Aggregation(Operation.COUNT, "value"),
         ],
+        accuracy=Accuracy.TEMPORAL,
         name="user_stats",
     )
 
@@ -55,6 +57,7 @@ def _type_gb():
         ],
         key_columns=["etype"],
         aggregations=[Aggregation(Operation.AVERAGE, "value", windows=[Window(1, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
         name="type_stats",
     )
 

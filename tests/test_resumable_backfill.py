@@ -8,7 +8,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from raywin.api import Aggregation, EventSource, GroupBy, Operation, Query, TimeUnit, Window
+from raywin.api import Accuracy, Aggregation, EventSource, GroupBy, Operation, Query, TimeUnit, Window
 from raywin.pipelines.backfill import backfill_temporal
 from raywin.state import manifest as mf
 
@@ -43,6 +43,7 @@ def _gb(path, windows=None):
             Aggregation(Operation.SUM, "v", windows=windows or [Window(2, TimeUnit.DAYS)]),
             Aggregation(Operation.COUNT, "v"),
         ],
+        accuracy=Accuracy.TEMPORAL,
         name="bf_gb",
     )
 
