@@ -288,6 +288,47 @@ class BootstrapPart:
 
 
 @dataclass
+class Model:
+    """A scoring model attached to a Join's output (reference
+    api.thrift:468-473).  ``backend`` names a registered vectorized model
+    backend (raywin.stages.models.MODEL_BACKENDS); ``params`` are its
+    constructor arguments (small weights inline; large weight tensors as a
+    ``ray.ObjectRef`` placed once with ray.put and resolved per actor)."""
+
+    name: str
+    backend: str
+    params: dict = field(default_factory=dict)
+    input_schema: Optional[dict] = None  # model input name -> dtype string
+    output_schema: Optional[dict] = None  # model output name -> dtype string
+
+
+@dataclass
+class ModelTransform:
+    """One model applied to join output columns (reference api.thrift:476-481):
+    input_mappings: model input name -> join output column (default identity);
+    output_mappings: output column name -> model output field (default all);
+    prefix namespaces the output columns."""
+
+    model: Model
+    input_mappings: Optional[dict[str, str]] = None
+    output_mappings: Optional[dict[str, str]] = None
+    prefix: Optional[str] = None
+
+    def output_column(self, field_name: str) -> str:
+        pfx = f"{self.prefix}_" if self.prefix else ""
+        return f"{pfx}{field_name}"
+
+
+@dataclass
+class ModelTransforms:
+    """All model transforms of a Join + fields forwarded verbatim
+    (reference api.thrift:483-486)."""
+
+    transforms: list[ModelTransform]
+    passthrough_fields: Optional[list[str]] = None
+
+
+@dataclass
 class Join:
     """Left table of (keys..., ts) enriched with the as-of value of many
     GroupBys (reference api.thrift:300-372)."""
@@ -299,6 +340,7 @@ class Join:
     derivations: Optional[list[Derivation]] = None
     row_ids: Optional[list[str]] = None
     bootstrap_parts: Optional[list[BootstrapPart]] = None
+    model_transforms: Optional[ModelTransforms] = None
 
 
 def semantic_hash(obj) -> str:

@@ -95,6 +95,72 @@ FROM p GROUP BY user_id, ts
 """
 
 
+def model_scores(sf_dir: str):
+    """ModelTransform over join output: the asof_core feature pipeline scored
+    by a linear model in an actor-pool stage (ModelTransformBatchJob.scala
+    run loop; MockModelBackend role played by the deterministic `linear`
+    backend).  Fixed double-op accumulation order makes the score
+    bitwise-reproducible, so the oracle is the asof_core SQL wrapped with the
+    same expression."""
+    from ..api import Model, ModelTransform, ModelTransforms
+    from ..stages.models import apply_model_transforms
+
+    feats = asof_core(sf_dir)
+    mts = ModelTransforms(
+        transforms=[
+            ModelTransform(
+                model=Model(
+                    name="risk",
+                    backend="linear",
+                    params={
+                        "weights": {"value_sum_1d": 0.03, "value_count_1d": -0.2},
+                        "bias": 0.5,
+                        "link": "identity",
+                    },
+                ),
+                input_mappings=None,  # identity: model inputs ARE join columns
+                output_mappings={"risk": "score"},
+                prefix="m",
+            ),
+            ModelTransform(
+                model=Model(
+                    name="flag",
+                    backend="linear",
+                    params={
+                        "weights": {"value_sum_1d": 0.03, "value_count_1d": -0.2},
+                        "bias": -1.0,
+                        "link": "binary",
+                    },
+                ),
+                output_mappings={"flag": "score"},
+                prefix="m",
+            ),
+        ],
+        passthrough_fields=["value_sum_1d"],
+    )
+    return apply_model_transforms(feats, mts, row_ids=["user_id", "ts"])
+
+
+MODEL_SCORES_SQL = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value,
+                  CAST(round(value * 100) AS BIGINT) AS sv FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM e),
+p AS (SELECT q.user_id, q.ts, e.value, e.sv, e.ts AS ets
+      FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ts < q.ts),
+f AS (SELECT user_id, ts,
+  CAST(sum(sv) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}) AS DOUBLE) / 100.0
+    AS value_sum_1d,
+  nullif(count(value) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}), 0) AS value_count_1d
+FROM p GROUP BY user_id, ts)
+SELECT user_id, ts, value_sum_1d,
+  CAST(0.5 AS DOUBLE) + CAST(0.03 AS DOUBLE) * coalesce(value_sum_1d, 0)
+    + CAST(-0.2 AS DOUBLE) * coalesce(value_count_1d, 0) AS m_risk,
+  (CAST(-1.0 AS DOUBLE) + CAST(0.03 AS DOUBLE) * coalesce(value_sum_1d, 0)
+    + CAST(-0.2 AS DOUBLE) * coalesce(value_count_1d, 0)) > 0 AS m_flag
+FROM f
+"""
+
+
 def asof_timed(sf_dir: str):
     gb = GroupBy(
         sources=[
@@ -1630,6 +1696,7 @@ ORACLE_QUERIES = {
     "session_stats": (session_stats_30m, SESSION_STATS_SQL),
     "asof_core": (asof_core, ASOF_CORE_SQL),
     "asof_timed": (asof_timed, ASOF_TIMED_SQL),
+    "model_scores": (model_scores, MODEL_SCORES_SQL),
     "asof_moments": (asof_moments, ASOF_MOMENTS_SQL),
     "asof_distinct_topk": (asof_distinct_topk, ASOF_DISTINCT_SQL),
     "asof_histogram": (asof_histogram_exploded, ASOF_HISTOGRAM_SQL),

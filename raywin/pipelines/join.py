@@ -265,4 +265,16 @@ def backfill_join(
         out = out.drop_columns([MATCHED_HASHES])
     if join.derivations:
         out = apply_derivations(out, join.derivations, out.schema().names)
+    if join.model_transforms:
+        # score the pre-model-transform output (ModelTransformBatchJob.scala
+        # run loop; the pre-MT table is the chained `out` here)
+        from ..stages.models import apply_model_transforms
+
+        if not join.row_ids:
+            raise ValueError(
+                f"Join '{join.name}' has model_transforms but no row_ids "
+                "(the scored output is keyed by row_ids, "
+                "ModelTransformBatchJob.scala:56-66)"
+            )
+        out = apply_model_transforms(out, join.model_transforms, join.row_ids)
     return out
