@@ -1026,29 +1026,42 @@ class PartitionAggregator:
         nb = len(centers)
         bin_idx = np.clip(np.searchsorted(edges, vals, side="right") - 1, 0, nb - 1)
         out = np.empty(nq, dtype=object)
+        # preallocated per-call buffers reused across chunks: fresh multi-MB
+        # temporaries pay ~0.5 ms/page first-touch faults in this sandbox,
+        # which made the unbuffered version ~10x slower (cumsum(out=) reuses
+        # these warm pages instead)
+        snaps_buf = np.zeros((2 * chunk + 2, nb), dtype=np.int32)
+        gl_buf = np.empty((chunk, nb), dtype=np.int32)
+        gr_buf = np.empty((chunk, nb), dtype=np.int32)
+        cdf_buf = np.empty((chunk, nb), dtype=np.int64)
         for c0 in range(0, nq, chunk):
             c1 = min(c0 + chunk, nq)
+            w = c1 - c0
             clv, crv = lv[c0:c1], rv[c0:c1]
             positions = np.unique(np.concatenate([clv, crv]))
             e0, e1 = int(positions[0]), int(positions[-1])
             # snapshot cumulative bin counts at this chunk's boundaries only
             seg = np.searchsorted(positions, np.arange(e0, e1), side="right") - 1
-            snaps = np.zeros((len(positions) + 1, nb), dtype=np.int32)
+            snaps = snaps_buf[: len(positions) + 1]
+            snaps[:] = 0
             np.add.at(snaps[1:], (seg, bin_idx[e0:e1]), 1)
-            snaps = cumsum_cols(snaps)[:-1]  # counts in [positions[0], positions[i])
+            np.cumsum(snaps, axis=0, out=snaps)  # row i: counts in [pos[0], pos[i])
             li = np.searchsorted(positions, clv)
             ri = np.searchsorted(positions, crv)
-            counts = snaps[ri] - snaps[li]
-            cdf = cumsum_rows(counts)
+            gl, gr = gl_buf[:w], gr_buf[:w]
+            np.take(snaps, li, axis=0, out=gl)
+            np.take(snaps, ri, axis=0, out=gr)
+            counts = np.subtract(gr, gl, out=gr)
+            cdf = np.cumsum(counts, axis=1, out=cdf_buf[:w])
             totals = cdf[:, -1]
-            picks = np.empty((len(pct), c1 - c0), dtype=np.int64)
+            picks = np.empty((len(pct), w), dtype=np.int64)
             for pi, p in enumerate(pct):
                 target = np.maximum(1, np.ceil(p * totals)).astype(np.int64)
                 picks[pi] = np.minimum((cdf < target[:, None]).sum(axis=1), nb - 1)
-            vals_at = centers[picks]
+            rows = centers[picks].T.tolist()  # (w, n_pct) python lists in one hop
             empty = totals == 0
-            for j in range(c1 - c0):
-                out[c0 + j] = None if empty[j] else [float(x) for x in vals_at[:, j]]
+            for j in range(w):
+                out[c0 + j] = None if empty[j] else rows[j]
         return out
 
     def _object_engine(self, part, ev_ts_s, ev_ent_s, get_col, get_bounds, nq):
