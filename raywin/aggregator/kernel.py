@@ -816,7 +816,15 @@ class PartitionAggregator:
         offsets = np.zeros(nq + 1, dtype=np.int64)
         offsets[1:] = cumsum1d(lengths, dtype=np.int64)
         out = np.empty(nq, dtype=object)
-        for i in range(nq):
+        # bulk path: most windows hold >= k events, so their rows are exactly
+        # k long — one reshape+tolist for all of them beats per-row slicing
+        full = lengths == k
+        n_full = int(full.sum())
+        if n_full:
+            fidx = np.flatnonzero(full)
+            rows = picked[_ranges(offsets[fidx], np.full(n_full, k), step=1)]
+            out[fidx] = np.fromiter(rows.reshape(-1, k).tolist(), dtype=object, count=n_full)
+        for i in np.flatnonzero(~full):
             out[i] = list(picked[offsets[i] : offsets[i + 1]]) if lengths[i] else None
         return out
 
@@ -937,8 +945,16 @@ class PartitionAggregator:
             slice_exact(np.flatnonzero(small))
             big_idx = np.flatnonzero(~small)
             if len(big_idx):
+                # bin budget = the requested sketch size k (reference maps k
+                # to KLL accuracy, SimpleAggregators.scala:383-392); rank
+                # error <= window/n_bins
+                try:
+                    n_bins = int(part.arg("k") or 256)
+                except (TypeError, ValueError):
+                    n_bins = 256
                 binned = self._binned_percentiles(
-                    vals, lv[big_idx], rv[big_idx], pct, len(big_idx)
+                    vals, lv[big_idx], rv[big_idx], pct, len(big_idx),
+                    n_bins=min(max(n_bins, 64), 1024),
                 )
                 out[big_idx] = binned
             return out
@@ -1026,6 +1042,17 @@ class PartitionAggregator:
         nb = len(centers)
         bin_idx = np.clip(np.searchsorted(edges, vals, side="right") - 1, 0, nb - 1)
         out = np.empty(nq, dtype=object)
+        # Global block prefix: counts per bin of all events in blocks [0, b).
+        # With it, the cumulative count at any boundary p is
+        #   block_prefix[p // bs] + (events in [bs*(p//bs), p))
+        # so each chunk only scans the few blocks its own boundaries fall in
+        # (O(total events) across ALL chunks) instead of re-scanning from the
+        # chunk's min boundary (O(events x chunks) on wide windows).
+        bs = 2048
+        n_blocks = n // bs + 1
+        block_prefix = np.zeros((n_blocks + 1, nb), dtype=np.int32)
+        np.add.at(block_prefix[1:], (np.arange(n) // bs, bin_idx), 1)
+        np.cumsum(block_prefix, axis=0, out=block_prefix)
         # preallocated per-call buffers reused across chunks: fresh multi-MB
         # temporaries pay ~0.5 ms/page first-touch faults in this sandbox,
         # which made the unbuffered version ~10x slower (cumsum(out=) reuses
@@ -1033,19 +1060,41 @@ class PartitionAggregator:
         snaps_buf = np.zeros((2 * chunk + 2, nb), dtype=np.int32)
         gl_buf = np.empty((chunk, nb), dtype=np.int32)
         gr_buf = np.empty((chunk, nb), dtype=np.int32)
-        cdf_buf = np.empty((chunk, nb), dtype=np.int64)
+        cdf_buf = np.empty((chunk, nb), dtype=np.int32)
         for c0 in range(0, nq, chunk):
             c1 = min(c0 + chunk, nq)
             w = c1 - c0
             clv, crv = lv[c0:c1], rv[c0:c1]
             positions = np.unique(np.concatenate([clv, crv]))
-            e0, e1 = int(positions[0]), int(positions[-1])
-            # snapshot cumulative bin counts at this chunk's boundaries only
-            seg = np.searchsorted(positions, np.arange(e0, e1), side="right") - 1
-            snaps = snaps_buf[: len(positions) + 1]
+            npos = len(positions)
+            # within-block partial counts at each boundary via a diff array:
+            # event e in block b adds +1 to boundary rows after it and -1 past
+            # the block's last row, so a column cumsum yields, per row i,
+            # the count of events in [block_start(p_i), p_i)
+            pb = positions // bs
+            ub, first = np.unique(pb, return_index=True)
+            row_end = np.empty(len(ub), dtype=np.int64)
+            row_end[:-1] = first[1:]
+            row_end[-1] = npos
+            scan_start = ub * bs
+            lens = positions[row_end - 1] - scan_start
+            tot = int(lens.sum())
+            snaps = snaps_buf[: npos + 1]
             snaps[:] = 0
-            np.add.at(snaps[1:], (seg, bin_idx[e0:e1]), 1)
-            np.cumsum(snaps, axis=0, out=snaps)  # row i: counts in [pos[0], pos[i])
+            if tot:
+                cum = np.cumsum(lens)
+                ev_idx = (
+                    np.arange(tot)
+                    - np.repeat(cum - lens, lens)
+                    + np.repeat(scan_start, lens)
+                )
+                ev_bins = bin_idx[ev_idx]
+                np.add.at(
+                    snaps, (np.searchsorted(positions, ev_idx, side="right"), ev_bins), 1
+                )
+                np.subtract.at(snaps, (np.repeat(row_end, lens), ev_bins), 1)
+            np.cumsum(snaps, axis=0, out=snaps)
+            snaps[:npos] += block_prefix[pb]  # absolute counts in [0, p_i)
             li = np.searchsorted(positions, clv)
             ri = np.searchsorted(positions, crv)
             gl, gr = gl_buf[:w], gr_buf[:w]
@@ -1056,7 +1105,7 @@ class PartitionAggregator:
             totals = cdf[:, -1]
             picks = np.empty((len(pct), w), dtype=np.int64)
             for pi, p in enumerate(pct):
-                target = np.maximum(1, np.ceil(p * totals)).astype(np.int64)
+                target = np.maximum(1, np.ceil(p * totals)).astype(np.int32)
                 picks[pi] = np.minimum((cdf < target[:, None]).sum(axis=1), nb - 1)
             rows = centers[picks].T.tolist()  # (w, n_pct) python lists in one hop
             empty = totals == 0
