@@ -1690,7 +1690,64 @@ FROM y GROUP BY user_id, sid
 """
 
 
+def neardup_jaccard_docs(sf_dir: str):
+    """MinHash-LSH candidates verified with exact 5-gram Jaccard >= 0.8.
+    Candidate recall at the injected near-dups' J (~0.99) is 1-5e-21, so the
+    verified set equals the oracle's brute-force all-pairs set."""
+    import ray.data
+
+    from ..stages.dedup import verified_neardup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return verified_neardup_pairs(ds, "text", "doc_id", threshold=0.8)
+
+
+def _neardup_jaccard_sql() -> str:
+    from ..functions.texthash import sql_norm
+
+    return f"""
+WITH d AS (SELECT doc_id, {sql_norm('text')} AS t FROM documents),
+g AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                              i -> substring(t, CAST(i AS INT), 5))) AS gr
+      FROM d),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+          FROM g ga JOIN g gb ON ga.gr = gb.gr AND ga.doc_id < gb.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+"""
+
+
+def neardup_cosine_pairs(sf_dir: str):
+    """Exhaustive embedding-cosine near-dup pairs (block-pair matmul tasks)."""
+    import ray.data
+
+    from ..stages.dedup import cosine_neardup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return cosine_neardup_pairs(ds, tau=0.4, num_blocks=4)
+
+
+NEARDUP_COSINE_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
 ORACLE_QUERIES = {
+    "neardup_jaccard": (neardup_jaccard_docs, _neardup_jaccard_sql),
+    "neardup_cosine": (neardup_cosine_pairs, NEARDUP_COSINE_SQL),
     "staging_query": (staging_query_revenue, STAGING_SQL),
     "summary_stats": (summary_stats_lineitem, SUMMARY_STATS_SQL),
     "session_stats": (session_stats_30m, SESSION_STATS_SQL),

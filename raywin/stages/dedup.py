@@ -177,3 +177,141 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def lsh_candidate_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16,
+                        shingle=5, num_buckets=64):
+    """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
+
+    One groupby shuffle over compact (id, band, band_hash) rows, pairs emitted
+    inside each bucket, then a second small shuffle to dedupe pairs seen in
+    several bands. Output: (a, b) with a < b. Recall at Jaccard J is
+    1-(1-J^r)^b (r=num_perm/bands): ~1-5e-21 at J=.99, ~0.9998 at J=.8."""
+    from ..stages.shuffle import BUCKET_COL, AddBucket
+
+    sig = ds.map_batches(
+        MinHashBands(text_col, id_col, num_perm, bands, shingle), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            ids = np.unique(grp[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), 1)
+            outs.append(pd.DataFrame({"a": ids[iu], "b": ids[ju]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (
+        sig.map_batches(AddBucket(["band", "band_hash"], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return (
+        pairs.map_batches(AddBucket(["a", "b"], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(dd, batch_format="pandas")
+    )
+
+
+def verified_neardup_pairs(ds, text_col: str, id_col: str, threshold: float,
+                           shingle=5, num_perm=64, bands=16, num_buckets=64):
+    """MinHash-LSH candidates -> exact n-gram-Jaccard verification: the full
+    near-dup pipeline (candidate generation is sub-quadratic and shuffles only
+    signatures; only candidate pairs ever fetch payload text, via two bucketed
+    joins). Output: (a, b, jaccard) for verified pairs with J >= threshold
+    over whitespace-normalized text (same normalization as the signatures).
+
+    Reference analogue: Chronon has no corpus dedup; the shape mirrors the
+    standard MinHash-LSH + verify design (Broder). At thresholds below ~0.8
+    LSH recall decays (see lsh_candidate_pairs) — widen bands/perms then."""
+    from ..functions.relational import bucketed_left_join
+    from ..functions.texthash import normalize_ws
+
+    cand = lsh_candidate_pairs(ds, text_col, id_col, num_perm, bands, shingle,
+                               num_buckets)
+    docs = ds.select_columns([id_col, text_col])
+    a_side = docs.rename_columns({id_col: "a", text_col: "__text_a"})
+    b_side = docs.rename_columns({id_col: "b", text_col: "__text_b"})
+    nb = max(8, num_buckets // 8)
+    withl = bucketed_left_join(cand, a_side, on=["a"], num_buckets=nb, how="inner")
+    withr = bucketed_left_join(withl, b_side, on=["b"], num_buckets=nb, how="inner")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ta = normalize_ws(g["__text_a"]).tolist()
+        tb = normalize_ws(g["__text_b"]).tolist()
+        j = np.fromiter(
+            (ngram_jaccard(x, y, shingle) for x, y in zip(ta, tb)),
+            dtype=np.float64, count=len(g),
+        )
+        out = g[["a", "b"]].copy()
+        out["jaccard"] = np.round(j, 6)
+        return out[j >= threshold]
+
+    return withr.map_batches(verify, batch_format="pandas")
+
+
+def cosine_neardup_pairs(ds, tau: float, id_col: str = "vec_id",
+                         emb_col: str = "embedding", num_blocks: int | None = None):
+    """Exhaustive embedding-cosine near-duplicate pairs: every unordered pair
+    (a < b) with cosine similarity >= tau, as (a, b, sim) rounded to 6 dp.
+
+    Distributed all-pairs over BLOCK pairs: the (id, embedding) projection is
+    materialized into the object store once as B blocks, then each of the
+    B*(B+1)/2 (block_i, block_j) combinations is one Ray task doing a dense
+    float64 matmul — a worker only ever holds two blocks, never the corpus.
+    This is the exact verifier; for sub-quadratic scale bucket first
+    (lsh_bucketed_topk hyperplane signs / minhash) and verify buckets with
+    this on the residual. Raw Ray tasks are used because the Dataset API has
+    no self-cross-product; the partitioning assumption is only that one block
+    pair fits a worker (SURVEY.md s2 custom-operator rule (c))."""
+    import ray
+
+    proj = ds.select_columns([id_col, emb_col])
+    if num_blocks:
+        proj = proj.repartition(num_blocks)
+    refs = proj.materialize().to_arrow_refs()
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        def mat(t):
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m / np.maximum(n, 1e-30)
+
+        ida, ma = mat(ta)
+        idb, mb = mat(tb)
+        s = ma @ mb.T
+        if same:
+            # within one block both orientations are present: keep a < b once
+            keep = (s >= tau) & (ida[:, None] < idb[None, :])
+            ii, jj = np.nonzero(keep)
+            a, b = ida[ii], idb[jj]
+        else:
+            # across blocks each unordered pair appears exactly once; orient it
+            keep = s >= tau
+            ii, jj = np.nonzero(keep)
+            a = np.minimum(ida[ii], idb[jj])
+            b = np.maximum(ida[ii], idb[jj])
+        return pa.table({
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
+            "sim": pa.array(np.round(s[ii, jj], 6), type=pa.float64()),
+        })
+
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(block_pair.remote(refs[i], refs[j], i == j))
+    import ray.data
+
+    return ray.data.from_arrow_refs(out_refs)
