@@ -126,19 +126,27 @@ def _chain_part_with_bootstrap(
     covering: set[str] | None,
     num_buckets: int,
     n_left: int | None,
+    schema_names: list[str],
 ):
     """Chained enrichment honoring bootstrap: rows whose matched-hash combo
     covers this part keep their bootstrap values and bypass the kernel
     shuffle; the rest compute, then COALESCE bootstrap over computed
     (reference covering-set skip Join.scala:300-341 + coalescedJoin
-    JoinUtils.scala:138-173)."""
+    JoinUtils.scala:138-173).
+
+    schema_names is the STATIC column list of out_ds (tracked by the caller);
+    calling out_ds.schema() here would execute the whole upstream pipeline
+    once just for names (an all-to-all sort can't stop at one block).
+    Returns (enriched_ds, new_schema_names)."""
     import pyarrow.compute as pc
 
     from .bootstrap import _BS_PREFIX, split_covered
 
     out_cols = [f"{part.full_prefix}{c}" for c in part.group_by.output_columns()]
-    schema_names = out_ds.schema().names
     present = [c for c in out_cols if c in schema_names]
+    # kernel output = passthrough queries (bootstrap cols rode as __bs_ and are
+    # dropped by the coalesce) + this part's feature columns appended
+    new_names = [n for n in schema_names if n not in present] + out_cols
 
     def enrich(ds):
         if present:
@@ -161,7 +169,7 @@ def _chain_part_with_bootstrap(
         return feats.map_batches(coal, batch_format="pyarrow")
 
     if not covering:
-        return enrich(out_ds)
+        return enrich(out_ds), new_names
     covered, uncovered = split_covered(out_ds, covering)
     feats = enrich(uncovered)
     from .group_by import _arrow_schema
@@ -171,7 +179,7 @@ def _chain_part_with_bootstrap(
     covered = covered.map_batches(
         lambda b: pad_to_schema(b, f_schema), batch_format="pyarrow"
     )
-    return covered.union(feats)
+    return covered.union(feats), list(f_schema.names)
 
 
 def part_features(
@@ -234,9 +242,10 @@ def backfill_join(
 
     if assembly == "chain":
         n_left = left.count() if join.join_parts else 0
+        out_names = list(left.schema().names) if join.join_parts else []
         for i, part in enumerate(join.join_parts):
-            out = _chain_part_with_bootstrap(
-                part, out, bs_cover.get(i), num_buckets, n_left
+            out, out_names = _chain_part_with_bootstrap(
+                part, out, bs_cover.get(i), num_buckets, n_left, out_names
             )
             if materialize_intermediates and part is not join.join_parts[-1]:
                 out = out.materialize()
@@ -263,8 +272,13 @@ def backfill_join(
 
         # processing metadata never reaches the output (Join.scala:253-255)
         out = out.drop_columns([MATCHED_HASHES])
+        if assembly == "chain" and MATCHED_HASHES in out_names:
+            out_names = [n for n in out_names if n != MATCHED_HASHES]
     if join.derivations:
-        out = apply_derivations(out, join.derivations, out.schema().names)
+        # chained assembly tracked the names statically; asking the lazy
+        # pipeline for its schema would execute the final kernel shuffle twice
+        names = out_names if assembly == "chain" else out.schema().names
+        out = apply_derivations(out, join.derivations, names)
     if join.model_transforms:
         # score the pre-model-transform output (ModelTransformBatchJob.scala
         # run loop; the pre-MT table is the chained `out` here)
