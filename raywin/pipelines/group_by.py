@@ -341,6 +341,11 @@ def features_for_queries(
     out = out.select_columns(out_cols)
     if group_by.derivations:
         out = apply_derivations(out, group_by.derivations, out_cols)
+    else:
+        # static output schema, so callers never have to execute the lazy
+        # kernel pipeline just to learn it (an all-to-all sort can't stop
+        # at one block); not defined under derivations (DuckDB-typed output)
+        out._raywin_schema = pa.schema(list(l_arrow) + kernel.out_fields)
     return out
 
 

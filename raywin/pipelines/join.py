@@ -117,7 +117,14 @@ def part_features_chained(
     feats = features_for_queries(
         gb, queries, num_buckets=num_buckets, dedupe_queries=False, right_ds=right_ds
     )
-    return feats.rename_columns(_part_renames(part, invert_keys=True))
+    static = getattr(feats, "_raywin_schema", None)
+    renames = _part_renames(part, invert_keys=True)
+    out = feats.rename_columns(renames)
+    if static is not None:
+        out._raywin_schema = pa.schema(
+            [pa.field(renames.get(f.name, f.name), f.type) for f in static]
+        )
+    return out
 
 
 def _chain_part_with_bootstrap(
@@ -166,7 +173,13 @@ def _chain_part_with_bootstrap(
                 ).drop_columns([tmp])
             return batch
 
-        return feats.map_batches(coal, batch_format="pyarrow")
+        merged_ds = feats.map_batches(coal, batch_format="pyarrow")
+        st = getattr(feats, "_raywin_schema", None)
+        if st is not None:
+            merged_ds._raywin_schema = pa.schema(
+                [f for f in st if not f.name.startswith(_BS_PREFIX)]
+            )
+        return merged_ds
 
     if not covering:
         return enrich(out_ds), new_names
@@ -175,7 +188,7 @@ def _chain_part_with_bootstrap(
     from .group_by import _arrow_schema
     from ..stages.shuffle import pad_to_schema
 
-    f_schema = _arrow_schema(feats)
+    f_schema = getattr(feats, "_raywin_schema", None) or _arrow_schema(feats)
     covered = covered.map_batches(
         lambda b: pad_to_schema(b, f_schema), batch_format="pyarrow"
     )
