@@ -104,13 +104,21 @@ def bootstrap_left(left_ds, join: Join, num_buckets: int = 64):
     provides (the reference's BootstrapInfo.hashToSchema)."""
     from ..functions.relational import bucketed_left_join
 
+    from .group_by import _arrow_schema
+
     hash_to_cols: dict[str, set[str]] = {}
     out = left_ds
+    # track names statically: probing each intermediate join's schema would
+    # execute its whole map_groups pipeline once per bootstrap part
+    names = list(_arrow_schema(left_ds).names)
     for part in join.bootstrap_parts or []:
         bs_ds, keys, value_cols = scan_bootstrap_part(part, join)
         h = part.hash_value()
         hash_to_cols[h] = set(value_cols)
-        existing = set(out.schema().names)
+        existing = set(names)
+        names = names + [c for c in value_cols if c not in existing]
+        if MATCHED_HASHES not in existing:
+            names.append(MATCHED_HASHES)
         overlap = [c for c in value_cols if c in existing]
         hit_col = f"{_BS_PREFIX}hit"
         renames = {c: f"{_BS_PREFIX}{c}" for c in overlap}

@@ -180,7 +180,12 @@ def asof_timed(sf_dir: str):
     from .group_by import features_for_queries
 
     out = features_for_queries(gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True)
-    return out.drop_columns(["event_id"]) if "event_id" in out.schema().names else out
+    # static schema — .schema() on the lazy kernel pipeline would execute the
+    # whole shuffle once just for names (tie_breaker event_id is a right-side
+    # input, never a left/output column)
+    names = getattr(out, "_raywin_schema", None)
+    names = names.names if names is not None else out.schema().names
+    return out.drop_columns(["event_id"]) if "event_id" in names else out
 
 
 ASOF_TIMED_SQL = f"""
