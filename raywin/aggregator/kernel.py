@@ -36,7 +36,7 @@ import pandas as pd
 
 from ..api import AggregationPart, Operation
 from .scalar_ops import ScalarOp, make_scalar_op
-from .npfast import cumsum1d, cumsum_cols, cumsum_rows
+from .npfast import cumsum1d
 from .windowing import FiveMinuteResolution, round_down
 
 _PREFIX_OPS = {Operation.SUM, Operation.COUNT, Operation.AVERAGE}

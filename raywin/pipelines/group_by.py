@@ -201,7 +201,12 @@ class PartitionKernel:
 
 
 def _arrow_schema(ds) -> pa.Schema:
-    """Arrow schema of a Dataset whose last stage may be a pandas block."""
+    """Arrow schema of a Dataset whose last stage may be a pandas block.
+    Prefers a statically attached schema (scan_source / features_for_queries
+    set one) — probing a lazy actor/shuffle pipeline costs a real execution."""
+    static = getattr(ds, "_raywin_schema", None)
+    if isinstance(static, pa.Schema):
+        return static
     sch = ds.schema()
     base = getattr(sch, "base_schema", None)
     if isinstance(base, pa.Schema):
@@ -273,11 +278,14 @@ def features_for_queries(
             + ([group_by.tie_breaker] if group_by.tie_breaker else [])
         )
     )
-    r_names = set(_arrow_schema(right_ds).names)
+    r_schema0 = _arrow_schema(right_ds)
+    r_names = set(r_schema0.names)
     if set(needed) != r_names:
-        right_ds = right_ds.select_columns([c for c in needed if c in r_names])
-
-    r_arrow = _arrow_schema(right_ds)
+        keep = [c for c in needed if c in r_names]
+        right_ds = right_ds.select_columns(keep)
+        r_arrow = pa.schema([r_schema0.field(c) for c in keep])
+    else:
+        r_arrow = r_schema0
     l_arrow = _arrow_schema(left_ds)
     input_types = {
         p.input_column: r_arrow.field(p.input_column).type for p in parts

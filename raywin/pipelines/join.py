@@ -86,9 +86,14 @@ def _semi_filtered_right(gb: GroupBy, queries, n_left: int | None):
             vals = batch[kcol].to_numpy(zero_copy_only=False)
             return batch.filter(pa.array(np.isin(vals, self.keys)))
 
-    return events_dataset(gb).map_batches(
-        SemiFilter, batch_format="pyarrow", concurrency=(1, 8)
-    )
+    base = events_dataset(gb)
+    out = base.map_batches(SemiFilter, batch_format="pyarrow", concurrency=(1, 8))
+    # the filter is schema-preserving: keep the scan's static schema so the
+    # kernel needs no actor-pool probe
+    for attr in ("_raywin_schema", "_raywin_names"):
+        if getattr(base, attr, None) is not None:
+            setattr(out, attr, getattr(base, attr))
+    return out
 
 
 def _part_renames(part: JoinPart, invert_keys: bool) -> dict[str, str]:

@@ -91,7 +91,9 @@ def scan_source(source, extra_columns: list[str] | None = None) -> "ray.data.Dat
         )
     if query.selects is None and query.time_column is None and not query.wheres:
         cols = extra_columns if extra_columns else None
-        return read_table(path, cols)
+        ds = read_table(path, cols)
+        ds._raywin_names = list(cols) if cols else list(schema.names)
+        return ds
     exprs = list((query.selects or {}).values()) + list(query.wheres or [])
     if query.time_column:
         exprs.append(query.time_column)
@@ -99,7 +101,28 @@ def scan_source(source, extra_columns: list[str] | None = None) -> "ray.data.Dat
     if query.selects is None:
         cols = schema.names  # SELECT * still needs everything
     ds = read_table(path, cols or None)
-    return apply_query(ds, query)
+    out = apply_query(ds, query)
+    # output names are statically known (select aliases + ts): asking the
+    # SqlBatch actor pipeline would spin an actor up just for them
+    if query.selects is not None:
+        names = list(query.selects.keys())
+    else:
+        names = list(cols or schema.names)
+    if query.time_column:
+        names.append("ts")
+    out._raywin_names = names
+    # pure projections (every select is a bare column) have statically known
+    # TYPES too — the kernel then needs no actor-pool schema probe at all
+    if query.selects is not None and all(
+        expr == alias and expr in schema.names for alias, expr in query.selects.items()
+    ):
+        import pyarrow as pa
+
+        fields = [pa.field(a, schema.field(a).type) for a in query.selects]
+        if query.time_column:
+            fields.append(pa.field("ts", pa.int64()))
+        out._raywin_schema = pa.schema(fields)
+    return out
 
 
 def union_sources(datasets: list["ray.data.Dataset"]) -> "ray.data.Dataset":
@@ -107,7 +130,7 @@ def union_sources(datasets: list["ray.data.Dataset"]) -> "ray.data.Dataset":
     if len(datasets) == 1:
         return datasets[0]
     base = datasets[0]
-    names = base.schema().names
+    names = getattr(base, "_raywin_names", None) or base.schema().names
     aligned = [base] + [d.select_columns(names) for d in datasets[1:]]
     out = aligned[0]
     for d in aligned[1:]:
