@@ -34,6 +34,10 @@ from ..sources.io import scan_source, union_sources
 from ..stages.query import apply_derivations
 from ..stages.shuffle import BUCKET_COL, SIDE_COL, AddBucket, pad_to_schema, unify_schemas
 
+import os as _os
+
+SHUFFLE_BUNDLE_ROWS = int(_os.environ.get("RAYWIN_SHUFFLE_BUNDLE_ROWS", "32768"))
+
 _FLOAT_OUT = {
     Operation.AVERAGE,
     Operation.VARIANCE,
@@ -327,8 +331,16 @@ def features_for_queries(
     left_tagged = left_ds.map_batches(tag(0), batch_format="pyarrow")
     right_tagged = right_ds.map_batches(tag(1), batch_format="pyarrow")
     unioned = left_tagged.union(right_tagged)
+    # bundle the sub-sized blocks fine-grained upstream stages produce before
+    # the all-to-all: the sort's map phase pays a fixed per-block cost, and
+    # 1-2k-row blocks made it 8x slower than 32k-row blocks on this exchange.
+    # Rows here are narrow (keys + ts + numeric inputs; payloads never ride
+    # the kernel shuffle), so 32k rows is a few MB — raise for production
+    # block sizes via RAYWIN_SHUFFLE_BUNDLE_ROWS.
     bucketed = unioned.map_batches(
-        AddBucket(group_by.key_columns, num_buckets), batch_format="pyarrow"
+        AddBucket(group_by.key_columns, num_buckets),
+        batch_format="pyarrow",
+        batch_size=SHUFFLE_BUNDLE_ROWS,
     )
     kernel = PartitionKernel(
         group_by.key_columns,

@@ -76,7 +76,15 @@ def _semi_filtered_right(gb: GroupBy, queries, n_left: int | None):
 
     from .group_by import events_dataset
 
-    key_arr_ref = ray.put(np.asarray(sorted(key_vals), dtype=object))
+    # native dtype when homogeneous: np.isin over an object array hashes every
+    # element in Python and is ~20x slower than the int64/str fast path
+    try:
+        key_arr = np.asarray(sorted(key_vals))
+        if key_arr.dtype == object:
+            raise TypeError
+    except TypeError:
+        key_arr = np.asarray(sorted(key_vals, key=str), dtype=object)
+    key_arr_ref = ray.put(key_arr)
 
     class SemiFilter:
         def __init__(self):
@@ -102,6 +110,22 @@ def _part_renames(part: JoinPart, invert_keys: bool) -> dict[str, str]:
         for l, r in part.key_mapping.items():
             rename[r] = l
     return rename
+
+
+def _self_enrichment(join: Join, part: JoinPart) -> bool:
+    """True when the part aggregates the SAME unfiltered table the left scans:
+    every right key then exists on the left, so the small-mode semi filter
+    keeps ~everything and is pure overhead (scan + broadcast + per-batch isin).
+    """
+    left_table = getattr(join.left, "table", None) or getattr(
+        join.left, "snapshot_table", None
+    )
+    if getattr(join.left.query, "wheres", None):
+        return False  # a narrowed left CAN prune the right
+    return all(
+        (getattr(s, "table", None) or getattr(s, "snapshot_table", None)) == left_table
+        for s in part.group_by.sources
+    )
 
 
 def part_features_chained(
@@ -139,6 +163,7 @@ def _chain_part_with_bootstrap(
     num_buckets: int,
     n_left: int | None,
     schema_names: list[str],
+    prune_right: bool = True,
 ):
     """Chained enrichment honoring bootstrap: rows whose matched-hash combo
     covers this part keep their bootstrap values and bypass the kernel
@@ -163,7 +188,7 @@ def _chain_part_with_bootstrap(
     def enrich(ds):
         if present:
             ds = ds.rename_columns({c: _BS_PREFIX + c for c in present})
-        feats = part_features_chained(part, ds, num_buckets, n_left=n_left)
+        feats = part_features_chained(part, ds, num_buckets, prune_right=prune_right, n_left=n_left)
         if not present:
             return feats
 
@@ -263,7 +288,8 @@ def backfill_join(
         out_names = list(left.schema().names) if join.join_parts else []
         for i, part in enumerate(join.join_parts):
             out, out_names = _chain_part_with_bootstrap(
-                part, out, bs_cover.get(i), num_buckets, n_left, out_names
+                part, out, bs_cover.get(i), num_buckets, n_left, out_names,
+                prune_right=not _self_enrichment(join, part),
             )
             if materialize_intermediates and part is not join.join_parts[-1]:
                 out = out.materialize()
