@@ -290,3 +290,16 @@ def analyze_group_by(gb: GroupBy) -> dict:
     except Exception as e:
         report["hot_keys_error"] = str(e)
     return report
+
+
+def analyze_join(join: Join) -> dict:
+    """Join analyzer report: validation errors + per-part GroupBy reports
+    (Analyzer.scala analyzeJoin:192-250)."""
+    report: dict = {"errors": validate_join(join)}
+    if report["errors"]:
+        return report
+    report["parts"] = {
+        (jp.prefix + "_" if jp.prefix else "") + jp.group_by.name: analyze_group_by(jp.group_by)
+        for jp in join.join_parts
+    }
+    return report

@@ -170,6 +170,9 @@ class Query:
     end_partition: Optional[str] = None
     mutation_time_column: Optional[str] = None
     reversal_column: Optional[str] = None
+    # SQL setup statements (UDF macros etc.) run once per worker connection
+    # before select/where evaluation (reference api.thrift:46-48 `setups`)
+    setups: Optional[list[str]] = None
 
 
 @dataclass

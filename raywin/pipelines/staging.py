@@ -24,6 +24,9 @@ class StagingQuery:
     query: str
     name: str = "staging_query"
     setups: list[str] = field(default_factory=list)
+    # table name -> parquet/lance path, so a conf object is self-contained
+    # when launched via `python -m raywin.run --mode staging-query`
+    tables: dict[str, str] = field(default_factory=dict)
 
 
 _MACRO = re.compile(r"\{\{\s*(\w+)(?:\(([^)]*)\))?\s*\}\}")

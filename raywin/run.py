@@ -1,0 +1,139 @@
+"""Driver CLI — the `ray job submit` entry point for backfills.
+
+Mirrors the reference's run.py / Driver.scala modes (reference
+api/py/ai/chronon/repo/run.py; spark/.../Driver.scala:343-405) with Python
+configs instead of compiled Thrift JSON: ``--conf module:attr`` imports a
+module (cwd on sys.path) and picks the named GroupBy / Join / StagingQuery
+object.
+
+    ray job submit -- python -m raywin.run --mode join-backfill \
+        --conf teams.ads.joins:ctr_join --output /lake/ctr_join
+    python -m raywin.run --mode groupby-backfill --conf confs:user_gb \
+        --start 2023-01-01 --end 2023-02-01 --output /lake/user_gb
+    python -m raywin.run --mode analyze --conf confs:ctr_join
+
+Output is partitioned parquet (one directory per day / run) or a Lance
+dataset when --output ends in ``.lance`` and the `lance` wheel is present —
+resumable: groupby-backfill skips day partitions whose manifest is complete.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import os
+import sys
+
+
+def load_conf(spec: str):
+    """'pkg.module:attr' -> the conf object (GroupBy / Join / StagingQuery)."""
+    if ":" not in spec:
+        raise SystemExit(f"--conf must be module:attr, got {spec!r}")
+    mod_name, attr = spec.split(":", 1)
+    sys.path.insert(0, os.getcwd())
+    mod = importlib.import_module(mod_name)
+    try:
+        return getattr(mod, attr)
+    except AttributeError as e:
+        raise SystemExit(f"{mod_name} has no attribute {attr!r}") from e
+
+
+def write_output(ds, path: str):
+    """Partitioned parquet by default; Lance when the path asks for it."""
+    if path.rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise SystemExit(
+                f"{path} requests a Lance dataset but the `lance` wheel is "
+                "not installed; use a parquet path or install pylance"
+            ) from e
+        ds.write_lance(path)
+    else:
+        ds.write_parquet(path)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raywin.run", description=__doc__)
+    p.add_argument("--mode", required=True, choices=[
+        "join-backfill", "groupby-backfill", "analyze", "validate",
+        "staging-query",
+    ])
+    p.add_argument("--conf", required=True, help="module:attr of the config object")
+    p.add_argument("--output", help="output table path (parquet dir or *.lance)")
+    p.add_argument("--start", help="start ds (YYYY-MM-DD), groupby-backfill/staging")
+    p.add_argument("--end", help="end ds (YYYY-MM-DD), groupby-backfill/staging")
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--step-days", type=int, default=1)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():  # the job driver owns the session
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"))
+
+    conf = load_conf(args.conf)
+    from .api import GroupBy, Join
+
+    if args.mode in ("analyze", "validate"):
+        from . import analyzer
+
+        if isinstance(conf, Join):
+            report = (
+                {"errors": analyzer.validate_join(conf)}
+                if args.mode == "validate"
+                else analyzer.analyze_join(conf)
+            )
+        else:
+            report = (
+                {"errors": analyzer.validate_group_by(conf)}
+                if args.mode == "validate"
+                else analyzer.analyze_group_by(conf)
+            )
+        print(json.dumps(report, indent=2, default=str))
+        return 1 if report.get("errors") else 0
+
+    if args.mode == "join-backfill":
+        if not args.output:
+            raise SystemExit("--output required for join-backfill")
+        from .pipelines.join import backfill_join
+
+        out = backfill_join(conf, num_buckets=args.num_buckets)
+        write_output(out, args.output)
+        print(json.dumps({"mode": args.mode, "output": args.output,
+                          "rows": out.count()}))
+        return 0
+
+    if args.mode == "groupby-backfill":
+        if not (args.output and args.start and args.end):
+            raise SystemExit("--output/--start/--end required")
+        from .pipelines.backfill import backfill_temporal
+        from .pipelines.group_by import events_dataset
+
+        def left_fn():
+            keys = conf.key_columns
+            return events_dataset(conf).select_columns(keys + ["ts"])
+
+        done = backfill_temporal(
+            conf, left_fn, args.output, args.start, args.end,
+            step_days=args.step_days, num_buckets=args.num_buckets,
+        )
+        print(json.dumps({"mode": args.mode, "output": args.output,
+                          "partitions_computed": len(done)}))
+        return 0
+
+    if args.mode == "staging-query":
+        if not (args.output and args.start and args.end):
+            raise SystemExit("--output/--start/--end required")
+        from .pipelines.staging import run_staging_query
+
+        out = run_staging_query(conf, args.start, args.end, conf.tables or {})
+        write_output(out, args.output)
+        print(json.dumps({"mode": args.mode, "output": args.output}))
+        return 0
+    raise SystemExit(f"unhandled mode {args.mode}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

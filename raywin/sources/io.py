@@ -88,6 +88,7 @@ def scan_source(source, extra_columns: list[str] | None = None) -> "ray.data.Dat
             time_column=query.time_column,
             start_partition=query.start_partition,
             end_partition=query.end_partition,
+            setups=query.setups,
         )
     if query.selects is None and query.time_column is None and not query.wheres:
         cols = extra_columns if extra_columns else None

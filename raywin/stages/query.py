@@ -105,14 +105,17 @@ class SqlBatch:
     concurrency=N)`` — connection warm-up amortized across batches.
     """
 
-    def __init__(self, sql: str, relation: str = "batch"):
+    def __init__(self, sql: str, relation: str = "batch", setups: list[str] | None = None):
         self.sql = sql
         self.relation = relation
+        self.setups = list(setups or [])  # UDF/macro DDL, once per connection
         self._con = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._con is None:
             self._con = get_duckdb().connect(":memory:")
+            for stmt in self.setups:
+                self._con.execute(stmt)
         self._con.register(self.relation, batch)
         out = self._con.execute(self.sql).fetch_arrow_table()
         self._con.unregister(self.relation)
@@ -144,7 +147,8 @@ def apply_query(ds, query: Query):
     sql = build_select_sql(query)
     if sql is None:
         return ds
-    return ds.map_batches(SqlBatch(sql), batch_format="pyarrow")
+    setups = getattr(query, "setups", None)
+    return ds.map_batches(SqlBatch(sql, setups=setups), batch_format="pyarrow")
 
 
 def apply_derivations(ds, derivations: list[Derivation] | None, base_columns: list[str]):
