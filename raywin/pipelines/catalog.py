@@ -1695,6 +1695,185 @@ FROM y GROUP BY user_id, sid
 """
 
 
+def label_join_training(sf_dir: str):
+    """Training table: PITC features labeled with the NEXT day's activity
+    (LabelJoin with a ts+1d label offset, reference LabelJoin.scala:35-291 —
+    labels computed at a later timestamp, never leaking into features)."""
+    from .chaining import label_join
+    from .group_by import features_for_queries
+
+    feat_gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[Aggregation(Operation.SUM, "value", windows=[Window(7, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
+        name="feat",
+    )
+    feats = features_for_queries(
+        feat_gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True
+    )
+    label_gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[Aggregation(Operation.COUNT, "value", windows=[Window(1, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
+        name="lbl",
+    )
+    return label_join(feats, label_gb, DAY, ["user_id"], num_buckets=N_BUCKETS)
+
+
+LABEL_JOIN_SQL = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value,
+                  CAST(round(value * 100) AS BIGINT) AS sv FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM e),
+f AS (SELECT q.user_id, q.ts,
+        CAST(sum(e.sv) FILTER (WHERE e.ts >= (q.ts - {7 * DAY})//{HOUR}*{HOUR})
+             AS DOUBLE)/100.0 AS value_sum_7d
+      FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ts < q.ts
+      GROUP BY q.user_id, q.ts),
+l AS (SELECT q.user_id, q.ts,
+        nullif(count(e.value) FILTER (WHERE e.ts >= q.ts//{HOUR}*{HOUR}), 0)
+          AS label_value_count_1d
+      FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ts < q.ts + {DAY}
+      GROUP BY q.user_id, q.ts)
+SELECT f.user_id, f.ts, f.value_sum_7d, l.label_value_count_1d
+FROM f JOIN l ON f.user_id = l.user_id AND f.ts = l.ts
+"""
+
+
+def chained_join_features(sf_dir: str):
+    """JoinSource chaining: the OUTPUT of a parent join feeds a child GroupBy
+    as its event source (reference GroupBy.scala:406-457 replaceJoinSource)."""
+    from ..api import JoinSource
+    from .chaining import chained_features
+
+    user_gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[Aggregation(Operation.SUM, "value", windows=[Window(7, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
+        name="u",
+    )
+    parent = Join(
+        left=EventSource(
+            table=f"{sf_dir}/events.parquet",
+            query=Query(selects={"event_id": "event_id", "user_id": "user_id"},
+                        time_column="epoch_ms(ts)"),
+        ),
+        join_parts=[JoinPart(group_by=user_gb)],
+        name="parent",
+    )
+    child = GroupBy(
+        sources=[JoinSource(join=parent, query=Query(
+            selects={"user_id": "user_id", "s7": "u_value_sum_7d"}, time_column="ts"))],
+        key_columns=["user_id"],
+        aggregations=[Aggregation(Operation.LAST, "s7")],
+        accuracy=Accuracy.TEMPORAL,
+        name="child",
+    )
+    return chained_features(child, _distinct_user_ts(sf_dir),
+                            num_buckets=N_BUCKETS, dedupe_queries=True)
+
+
+CHAINED_JOIN_SQL = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value,
+                  CAST(round(value * 100) AS BIGINT) AS sv FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM e),
+par AS (SELECT DISTINCT a.user_id, a.ts,
+          CAST(sum(b.sv) FILTER (WHERE b.ts >= (a.ts - {7 * DAY})//{HOUR}*{HOUR})
+               AS DOUBLE)/100.0 AS s7
+        FROM e a LEFT JOIN e b ON b.user_id = a.user_id AND b.ts < a.ts
+        GROUP BY a.user_id, a.ts)
+SELECT q.user_id, q.ts, p.s7 AS s7_last
+FROM q ASOF LEFT JOIN par p ON p.user_id = q.user_id AND p.ts < q.ts
+"""
+
+
+def bucketed_counts(sf_dir: str):
+    """buckets modifier: per-key COUNT bucketed by event_type -> map column
+    (reference cartesian buckets x windows, Extensions.scala:187-210;
+    bucketed IR kernel.py BucketedOp), exploded to rows for the oracle."""
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id",
+                                         "event_type": "event_type",
+                                         "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[Aggregation(Operation.COUNT, "value", buckets=["event_type"],
+                                  windows=[Window(7, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
+        name="bkt",
+    )
+    from .group_by import features_for_queries
+
+    feats = features_for_queries(
+        gb, _distinct_user_ts(sf_dir), num_buckets=N_BUCKETS, dedupe_queries=True
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        users, tss, bks, cnts = [], [], [], []
+        col = batch["value_count_7d_by_event_type"].to_pylist()
+        u = batch["user_id"].to_pylist()
+        t = batch["ts"].to_pylist()
+        for i, m in enumerate(col):
+            if m is None:
+                continue
+            items = m.items() if isinstance(m, dict) else m
+            for k, v in items:
+                users.append(u[i])
+                tss.append(t[i])
+                bks.append(k)
+                cnts.append(v)
+        return pa.table({
+            "user_id": pa.array(users, type=pa.int64()),
+            "ts": pa.array(tss, type=pa.int64()),
+            "bucket": pa.array(bks, type=pa.string()),
+            "cnt": pa.array(cnts, type=pa.int64()),
+        })
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+BUCKETED_COUNTS_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts, value FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM e)
+SELECT q.user_id, q.ts, e.event_type AS bucket, count(e.value) AS cnt
+FROM q JOIN e ON e.user_id = q.user_id AND e.ts < q.ts
+              AND e.ts >= (q.ts - {7 * DAY})//{HOUR}*{HOUR}
+GROUP BY q.user_id, q.ts, e.event_type
+"""
+
+
+def snapshot_entities_daily(sf_dir: str):
+    """SNAPSHOT accuracy over an entity snapshot table: one row per (key, ds)
+    aggregating that day's snapshot (reference GroupBy.scala:100-142)."""
+    from ..api import EntitySource
+    from .entities import snapshot_entity_features
+
+    snap_path, _, _ = _entity_fixture()
+    gb = GroupBy(
+        sources=[EntitySource(snapshot_table=snap_path, query=Query())],
+        key_columns=["k"],
+        aggregations=[
+            Aggregation(Operation.SUM, "rating"),
+            Aggregation(Operation.COUNT, "rating"),
+            Aggregation(Operation.AVERAGE, "rating"),
+            Aggregation(Operation.MAX, "rating"),
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+        name="snap_ent",
+    )
+    return snapshot_entity_features(gb, num_buckets=4)
+
+
+def _snapshot_entities_sql() -> str:
+    snap_path, _, _ = _entity_fixture()
+    return f"""
+SELECT k, ds, sum(rating) AS rating_sum, count(rating) AS rating_count,
+       avg(rating) AS rating_average, max(rating) AS rating_max
+FROM read_parquet('{snap_path}') GROUP BY k, ds
+"""
+
+
 def neardup_jaccard_docs(sf_dir: str):
     """MinHash-LSH candidates verified with exact 5-gram Jaccard >= 0.8.
     Candidate recall at the injected near-dups' J (~0.99) is 1-5e-21, so the
@@ -1753,6 +1932,10 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 ORACLE_QUERIES = {
     "neardup_jaccard": (neardup_jaccard_docs, _neardup_jaccard_sql),
     "neardup_cosine": (neardup_cosine_pairs, NEARDUP_COSINE_SQL),
+    "label_join": (label_join_training, LABEL_JOIN_SQL),
+    "chained_join": (chained_join_features, CHAINED_JOIN_SQL),
+    "bucketed_counts": (bucketed_counts, BUCKETED_COUNTS_SQL),
+    "snapshot_entities": (snapshot_entities_daily, _snapshot_entities_sql),
     "staging_query": (staging_query_revenue, STAGING_SQL),
     "summary_stats": (summary_stats_lineitem, SUMMARY_STATS_SQL),
     "session_stats": (session_stats_30m, SESSION_STATS_SQL),
