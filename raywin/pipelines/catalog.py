@@ -7,6 +7,8 @@ value-hash compare sorts columns by name)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -25,7 +27,10 @@ from ..api import (
     Window,
 )
 
-N_BUCKETS = 16
+# kernel co-partition width: ~2x the CPU count so the slowest bucket can't
+# straddle the whole run; on a multi-node cluster set RAYWIN_NUM_BUCKETS to
+# ~2x total cores (buckets are the unit of kernel parallelism)
+N_BUCKETS = int(os.environ.get("RAYWIN_NUM_BUCKETS", "16"))
 HOUR = 3600 * 1000
 DAY = 24 * HOUR
 
@@ -1858,6 +1863,11 @@ def snapshot_entities_daily(sf_dir: str):
             Aggregation(Operation.COUNT, "rating"),
             Aggregation(Operation.AVERAGE, "rating"),
             Aggregation(Operation.MAX, "rating"),
+            Aggregation(Operation.VARIANCE, "rating"),
+            Aggregation(Operation.UNIQUE_COUNT, "rating"),
+            Aggregation(Operation.FIRST, "rating"),
+            Aggregation(Operation.LAST, "rating"),
+            Aggregation(Operation.TOP_K, "rating", arg_map={"k": 2}),
         ],
         accuracy=Accuracy.SNAPSHOT,
         name="snap_ent",
@@ -1869,7 +1879,12 @@ def _snapshot_entities_sql() -> str:
     snap_path, _, _ = _entity_fixture()
     return f"""
 SELECT k, ds, sum(rating) AS rating_sum, count(rating) AS rating_count,
-       avg(rating) AS rating_average, max(rating) AS rating_max
+       avg(rating) AS rating_average, max(rating) AS rating_max,
+       var_pop(rating) AS rating_variance,
+       count(DISTINCT rating) AS rating_unique_count,
+       arg_min(rating, ts) AS rating_first,
+       arg_max(rating, ts) AS rating_last,
+       list_slice(list_sort(list(rating), 'DESC'), 1, 2) AS rating_top2
 FROM read_parquet('{snap_path}') GROUP BY k, ds
 """
 

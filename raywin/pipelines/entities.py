@@ -44,7 +44,11 @@ from ..aggregator.windowing import round_down
 from ..stages.shuffle import BUCKET_COL, SIDE_COL, AddBucket, pad_to_schema, unify_schemas
 from .group_by import _arrow_schema
 
-_DELETABLE = {Operation.SUM, Operation.COUNT, Operation.AVERAGE}
+# the reference's deletable (CDC-reversible) op set: SUM/COUNT/AVERAGE via
+# numeric minus (SimpleAggregators.scala:49-71,148-160) plus HISTOGRAM via
+# map-count decrement (SimpleAggregators.scala:311-321); everything else
+# raises "Operation is not deletable" there too (BaseAggregator.scala:60-62)
+_DELETABLE = {Operation.SUM, Operation.COUNT, Operation.AVERAGE, Operation.HISTOGRAM}
 
 
 def snapshot_entity_features(group_by: GroupBy, num_buckets: int = 32):
@@ -64,7 +68,23 @@ def snapshot_entity_features(group_by: GroupBy, num_buckets: int = 32):
     parts = group_by.agg_parts()
     key_cols = group_by.key_columns
 
+    _VEC = {
+        Operation.SUM, Operation.COUNT, Operation.AVERAGE, Operation.MIN,
+        Operation.MAX, Operation.VARIANCE, Operation.UNIQUE_COUNT,
+        Operation.BOUNDED_UNIQUE_COUNT,
+    }
+    generic = [p for p in parts if p.operation not in _VEC]
+    scalar_ops = {}
+    if generic:
+        from ..aggregator.scalar_ops import make_scalar_op
+
+        scalar_ops = {p.output_column: make_scalar_op(p) for p in generic}
+
     def agg_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if generic:
+            # timed ops (FIRST/LAST/…_K) read rows in ts order; stable sort
+            # keeps insertion order among ts ties like the row-based reference
+            g = g.sort_values("ts", kind="stable") if "ts" in g else g
         groups = g.groupby(key_cols + ["ds"], sort=False)
         frames = {}
         for part in parts:
@@ -80,8 +100,41 @@ def snapshot_entity_features(group_by: GroupBy, num_buckets: int = 32):
                 frames[part.output_column] = col.min()
             elif op is Operation.MAX:
                 frames[part.output_column] = col.max()
+            elif op is Operation.VARIANCE:
+                frames[part.output_column] = col.var(ddof=0)
+            elif op is Operation.UNIQUE_COUNT:
+                frames[part.output_column] = col.nunique()
+            elif op is Operation.BOUNDED_UNIQUE_COUNT:
+                k = int(part.arg("k") or 8)
+                frames[part.output_column] = col.nunique().clip(upper=k)
             else:
-                raise NotImplementedError(f"snapshot entities: {op}")
+                # full op set via the scalar-op IR machinery (the reference's
+                # snapshotEntities runs the whole RowAggregator op table,
+                # GroupBy.scala:100-142); groups are one entity-day of
+                # snapshot rows, so the per-group reduce is tiny
+                sop = scalar_ops[part.output_column]
+                timed = getattr(sop, "timed", False)
+
+                def reduce_group(sub: pd.DataFrame, sop=sop, timed=timed,
+                                 vcol=part.input_column):
+                    vals = sub[vcol].to_numpy()
+                    keep = pd.notna(vals)
+                    vals = vals[keep]
+                    if len(vals) == 0:
+                        return None
+                    ts = (
+                        sub["ts"].to_numpy()[keep]
+                        if timed and "ts" in sub
+                        else np.zeros(len(vals), dtype=np.int64)
+                    )
+                    ir = sop.prepare(vals[0], ts=int(ts[0]))
+                    for i in range(1, len(vals)):
+                        ir = sop.update(ir, vals[i], ts=int(ts[i]))
+                    return sop.finalize(ir)
+
+                frames[part.output_column] = groups[
+                    [part.input_column] + (["ts"] if "ts" in g else [])
+                ].apply(reduce_group)
         return pd.DataFrame(frames).reset_index()
 
     bucketed = ds_.map_batches(AddBucket(key_cols, num_buckets), batch_format="pyarrow")
@@ -189,7 +242,9 @@ class EntityKernel:
         m_sign_s = m_sign[m_order]
         q_order = np.lexsort((q_ts, q_seg))
 
-        for col_name, col_parts in _group_by_column(self.parts):
+        num_parts = [p for p in self.parts if p.operation is not Operation.HISTOGRAM]
+        hist_parts = [p for p in self.parts if p.operation is Operation.HISTOGRAM]
+        for col_name, col_parts in _group_by_column(num_parts):
             s_vals = (
                 snaps[col_name].iloc[s_order].to_numpy()
                 if len(snaps)
@@ -206,7 +261,109 @@ class EntityKernel:
                 s_seg_s, s_ts_s, s_vals,
                 m_seg_s, m_mts_s, m_ts_s, m_sign_s, m_vals,
             )
-        return out.drop(columns=[BUCKET_COL], errors="ignore")
+        for part in hist_parts:
+            col_name = part.input_column
+            s_vals = (
+                snaps[col_name].iloc[s_order].to_numpy()
+                if len(snaps)
+                else np.zeros(0, dtype=object)
+            )
+            m_vals = (
+                muts[col_name].iloc[m_order].to_numpy()
+                if len(muts)
+                else np.zeros(0, dtype=object)
+            )
+            self._eval_histogram(
+                out, part,
+                q_seg, q_ts, q_order,
+                s_seg_s, s_ts_s, s_vals,
+                m_seg_s, m_mts_s, m_ts_s, m_sign_s, m_vals,
+            )
+        out = out.drop(columns=[BUCKET_COL], errors="ignore")
+        if not hist_parts:
+            return out
+        # dict columns don't survive pandas->arrow inference (jagged structs);
+        # emit an explicit map<string,int64> column like the event kernel
+        hist_cols = [p.output_column for p in hist_parts]
+        tbl = pa.Table.from_pandas(out.drop(columns=hist_cols), preserve_index=False)
+        for p in hist_parts:
+            arr = pa.array(
+                [None if v is None else sorted(v.items()) for v in out[p.output_column]],
+                type=pa.map_(pa.string(), pa.int64()),
+            )
+            tbl = tbl.append_column(p.output_column, arr)
+        return tbl
+
+    def _eval_histogram(
+        self, out, part,
+        q_seg, q_ts, q_order,
+        s_seg, s_ts, s_vals,
+        m_seg, m_mts, m_ts, m_sign, m_vals,
+    ):
+        """Signed map-count sweep: base histogram from the previous-day
+        snapshot (window-trimmed on row ts, lo non-decreasing within a
+        (key, day) segment) + same-day mutation deltas applied in
+        mutation_ts order, reversed out of the window via a ts-ordered heap
+        (mirrors Histogram.delete, SimpleAggregators.scala:311-321)."""
+        import heapq
+
+        nq = len(q_ts)
+        res: list = [None] * nq
+        w = None if part.window.unbounded else part.window.millis
+        k = int(part.arg("k") or 0)
+        s_valid = pd.notna(s_vals)
+        m_valid = pd.notna(m_vals)
+        cur_seg = None
+        base: dict = {}
+        delta: dict = {}
+        heap: list = []
+        ptr_s = s_hi = m_ptr = m_end = 0
+        for qi in q_order:
+            seg = q_seg[qi]
+            qt = int(q_ts[qi])
+            lo = round_down(qt - w, MILLIS_DAY) if w is not None else None
+            if seg != cur_seg:
+                cur_seg = seg
+                s_lo = int(np.searchsorted(s_seg, seg, side="left"))
+                s_hi = int(np.searchsorted(s_seg, seg, side="right"))
+                base = {}
+                for j in range(s_lo, s_hi):
+                    if s_valid[j]:
+                        key = str(s_vals[j])
+                        base[key] = base.get(key, 0) + 1
+                ptr_s = s_lo
+                m_ptr = int(np.searchsorted(m_seg, seg, side="left"))
+                m_end = int(np.searchsorted(m_seg, seg, side="right"))
+                delta = {}
+                heap = []
+            while m_ptr < m_end and m_mts[m_ptr] < qt:
+                if m_valid[m_ptr]:
+                    mt = int(m_ts[m_ptr])
+                    # row already left the (non-decreasing) window: skip forever
+                    if lo is None or mt >= lo:
+                        v = str(m_vals[m_ptr])
+                        sg = int(m_sign[m_ptr])
+                        delta[v] = delta.get(v, 0) + sg
+                        heapq.heappush(heap, (mt, v, sg))
+                m_ptr += 1
+            if lo is not None:
+                while ptr_s < s_hi and s_ts[ptr_s] < lo:
+                    if s_valid[ptr_s]:
+                        key = str(s_vals[ptr_s])
+                        base[key] = base.get(key, 0) - 1
+                    ptr_s += 1
+                while heap and heap[0][0] < lo:
+                    _, v, sg = heapq.heappop(heap)
+                    delta[v] = delta.get(v, 0) - sg
+            hist = dict(base)
+            for v, c in delta.items():
+                hist[v] = hist.get(v, 0) + c
+            hist = {v: c for v, c in hist.items() if c > 0}
+            if k and len(hist) > k:
+                top = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+                hist = dict(top)
+            res[qi] = hist if hist else None
+        out[part.output_column] = res
 
     def _eval_column(
         self, out, parts,

@@ -168,6 +168,106 @@ def test_temporal_entities(ray_session, entity_tables):
             assert gc1 == c1, (k, t, gc1, c1)
 
 
+def brute_force_hist(snap_rows, mut_rows, k, q_ts, window=None):
+    day = (q_ts // DAY) * DAY
+    lo = (q_ts - window) // DAY * DAY if window else None
+    prev_ds = pd.Timestamp(day - DAY, unit="ms").strftime("%Y-%m-%d")
+
+    def in_win(ts):
+        return (lo is None or ts >= lo) and ts < q_ts
+
+    hist: dict[str, int] = {}
+    for kk, v, ts, ds in snap_rows:
+        if kk == k and ds == prev_ds and in_win(ts):
+            hist[str(v)] = hist.get(str(v), 0) + 1
+    for kk, v, ts, mts, before in mut_rows:
+        if kk == k and day <= mts < q_ts and in_win(ts):
+            hist[str(v)] = hist.get(str(v), 0) + (-1 if before else 1)
+    return {kk: c for kk, c in hist.items() if c > 0} or None
+
+
+def test_temporal_entities_histogram(ray_session, entity_tables):
+    """HISTOGRAM is deletable in the reference (map-count decrement,
+    SimpleAggregators.scala:311-321) so it runs over CDC mutations too."""
+    import ray.data
+
+    snap_path, mut_path, snap_rows, mut_rows = entity_tables
+    gb = GroupBy(
+        sources=[EntitySource(snapshot_table=snap_path, mutation_table=mut_path, query=Query())],
+        key_columns=["k"],
+        aggregations=[
+            Aggregation(Operation.HISTOGRAM, "rating"),
+            Aggregation(Operation.HISTOGRAM, "rating", windows=[Window(2, TimeUnit.DAYS)]),
+            Aggregation(Operation.SUM, "rating"),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="enth",
+    )
+    rng = np.random.default_rng(11)
+    n_q = 120
+    qk = rng.integers(0, 12, n_q).astype(str)
+    qts = BASE + DAY + rng.integers(0, 3 * DAY, n_q)
+    left = ray.data.from_pandas(pd.DataFrame({"k": qk, "ts": qts}))
+    out = temporal_entity_features(gb, left, num_buckets=4).to_pandas()
+    assert len(out) == n_q
+    got = {(r["k"], int(r["ts"])): r for _, r in out.iterrows()}
+
+    def to_dict(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return dict(v) if not isinstance(v, dict) else v
+
+    for k, t in zip(qk, qts):
+        row = got[(k, int(t))]
+        exp_u = brute_force_hist(snap_rows, mut_rows, k, int(t))
+        exp_w = brute_force_hist(snap_rows, mut_rows, k, int(t), window=2 * DAY)
+        assert to_dict(row["rating_histogram"]) == exp_u, (k, t)
+        assert to_dict(row["rating_histogram_2d"]) == exp_w, (k, t)
+        # sums still agree when computed alongside the map op
+        s, _ = brute_force(snap_rows, mut_rows, k, int(t))
+        gs = row["rating_sum"]
+        assert (s is None and np.isnan(gs)) or np.isclose(gs, s)
+
+
+def test_snapshot_entities_full_ops(ray_session, entity_tables):
+    """snapshotEntities runs the whole op table in the reference
+    (GroupBy.scala:100-142) — spot-check the non-trivial ones."""
+    snap_path, _, snap_rows, _ = entity_tables
+    gb = GroupBy(
+        sources=[EntitySource(snapshot_table=snap_path, query=Query())],
+        key_columns=["k"],
+        aggregations=[
+            Aggregation(Operation.VARIANCE, "rating"),
+            Aggregation(Operation.UNIQUE_COUNT, "rating"),
+            Aggregation(Operation.HISTOGRAM, "rating"),
+            Aggregation(Operation.TOP_K, "rating", arg_map={"k": 2}),
+            Aggregation(Operation.LAST, "rating"),
+            Aggregation(Operation.LAST_K, "rating", arg_map={"k": 3}),
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+        name="snap_full",
+    )
+    out = snapshot_entity_features(gb, num_buckets=4).to_pandas()
+    df = pd.DataFrame(snap_rows, columns=["k", "rating", "ts", "ds"])
+    got = {(r["k"], r["ds"]): r for _, r in out.iterrows()}
+    for (k, ds), sub in df.groupby(["k", "ds"]):
+        row = got[(k, ds)]
+        vals = sub["rating"].to_numpy()
+        assert np.isclose(row["rating_variance"], vals.var())
+        assert row["rating_unique_count"] == len(set(vals))
+        exp_hist = {}
+        for v in vals:
+            exp_hist[str(v)] = exp_hist.get(str(v), 0) + 1
+        gh = row["rating_histogram"]
+        gh = dict(gh) if not isinstance(gh, dict) else gh
+        assert gh == exp_hist
+        assert list(row["rating_top2"]) == sorted(vals, reverse=True)[:2]
+        srt = sub.sort_values("ts", kind="stable")
+        assert row["rating_last"] == srt["rating"].iloc[-1]
+        exp_lastk = srt["rating"].iloc[::-1].head(3).tolist()
+        assert list(row["rating_last3"]) == exp_lastk
+
+
 def test_snapshot_entities(ray_session, entity_tables):
     snap_path, mut_path, snap_rows, _ = entity_tables
     gb = GroupBy(
