@@ -1944,7 +1944,88 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# ------------------------------------------------------- online serving lambda
+
+
+def online_serving(sf_dir: str):
+    """The serving lambda run offline end-to-end: GroupByUpload at a midnight
+    seam + streaming tail + OnlineEnrich actor-pool fetch.  Because the
+    lambda is exact (zero temporal leakage, SawtoothOnlineAggregator.scala:
+    105-123), the result equals a plain as-of recompute over ALL events —
+    which is exactly what the SQL oracle does, making the seam
+    driver-verifiable."""
+    import ray
+
+    import pyarrow.dataset as pads
+
+    from ..online import OnlineEnrich, group_by_upload, load_upload
+
+    ev_path = f"{sf_dir}/events.parquet"
+    tbl = pads.dataset(ev_path, format="parquet").to_table(columns=["ts"])
+    ts_ms = tbl["ts"].cast("int64").to_numpy() // 1000  # micros -> millis
+    mid = (int(ts_ms.min()) + int(ts_ms.max())) // 2
+    batch_end = mid // DAY * DAY  # the midnight seam
+
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.SUM, "value", windows=[Window(1, TimeUnit.DAYS), Window(-1)]),
+            Aggregation(Operation.COUNT, "value", windows=[Window(6, TimeUnit.HOURS)]),
+            Aggregation(Operation.MIN, "value", windows=[Window(7, TimeUnit.DAYS)]),
+            Aggregation(Operation.MAX, "value"),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="online_core",
+    )
+    upload_map = load_upload(group_by_upload(gb, batch_end, num_buckets=N_BUCKETS), ["user_id"])
+    # the streaming tail: events at/after the seam, at most tail_buffer long
+    stream = (
+        _events_ds(sf_dir, ["user_id", "ts", "value"])
+        .map_batches(
+            lambda df: df.assign(ts=df["ts"].astype("int64") // 1000),
+            batch_format="pandas",
+        )
+        .filter(expr=f"ts >= {batch_end}")
+        .to_pandas()
+    )
+    left = (
+        _distinct_user_ts(sf_dir)
+        .filter(expr=f"ts >= {batch_end} and ts < {batch_end + DAY}")
+    )
+    return left.map_batches(
+        OnlineEnrich,
+        fn_constructor_args=(ray.put(upload_map), ray.put(stream), gb, batch_end),
+        concurrency=4,
+        batch_format="pandas",
+    )
+
+
+# the lambda's exactness property: batch IR + streaming tail == full as-of
+# recompute, so the oracle is orthodox point-in-time SQL over all events,
+# restricted to the servable day after the seam
+ONLINE_SERVING_SQL = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+b AS (SELECT ((CAST(min(ts) AS BIGINT) + CAST(max(ts) AS BIGINT)) // 2)
+       // {DAY} * {DAY} AS batch_end FROM e),
+q AS (SELECT DISTINCT user_id, ts FROM e, b
+      WHERE ts >= batch_end AND ts < batch_end + {DAY}),
+p AS (SELECT q.user_id, q.ts, e.value, e.ts AS ets
+      FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ts < q.ts)
+SELECT user_id, ts,
+  round(sum(value) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}), 6)
+    AS value_sum_1d,
+  round(sum(value), 6) AS value_sum,
+  nullif(count(value) FILTER (WHERE ets >= (ts - {6 * HOUR})//{5 * 60 * 1000}*{5 * 60 * 1000}), 0)
+    AS value_count_6h,
+  min(value) FILTER (WHERE ets >= (ts - {7 * DAY})//{HOUR}*{HOUR}) AS value_min_7d,
+  max(value) AS value_max
+FROM p GROUP BY user_id, ts
+"""
+
+
 ORACLE_QUERIES = {
+    "online_serving": (online_serving, ONLINE_SERVING_SQL),
     "neardup_jaccard": (neardup_jaccard_docs, _neardup_jaccard_sql),
     "neardup_cosine": (neardup_cosine_pairs, NEARDUP_COSINE_SQL),
     "label_join": (label_join_training, LABEL_JOIN_SQL),

@@ -1,0 +1,225 @@
+"""Online lambda stack: upload + fetcher vs the offline kernel, seam
+exactness, tiled streaming with late events, distributed enrichment."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raywin.api import (
+    Accuracy,
+    Aggregation,
+    EventSource,
+    GroupBy,
+    MILLIS_5MIN,
+    MILLIS_DAY,
+    Operation,
+    Query,
+    TimeUnit,
+    Window,
+)
+from raywin.aggregator.windowing import NaiveOracle
+from raywin.online import Fetcher, OnlineEnrich, TileAggregator, group_by_upload, load_upload
+
+HOUR = 3600 * 1000
+DAY = MILLIS_DAY
+BASE = (1_700_000_000_000 // DAY) * DAY  # midnight-aligned epoch
+BATCH_END = BASE + 4 * DAY
+
+
+def _events(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n).astype(str),
+            "ts": BASE + rng.integers(0, 5 * DAY, n),
+            "v": rng.normal(10, 4, n).round(3),
+            "cat": rng.choice(list("abc"), n),
+        }
+    )
+    df.loc[rng.random(n) < 0.05, "v"] = np.nan
+    return df.sort_values("ts", kind="stable").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def online_fixture(tmp_path_factory):
+    df = _events()
+    path = str(tmp_path_factory.mktemp("online") / "events.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    gb = GroupBy(
+        sources=[EventSource(table=path, query=Query())],
+        key_columns=["k"],
+        aggregations=[
+            Aggregation(Operation.SUM, "v", windows=[Window(1, TimeUnit.DAYS)]),
+            Aggregation(Operation.COUNT, "v", windows=[Window(6, TimeUnit.HOURS)]),
+            Aggregation(Operation.AVERAGE, "v", windows=[Window(2, TimeUnit.DAYS)]),
+            Aggregation(Operation.MIN, "v"),
+            Aggregation(Operation.LAST_K, "v", arg_map={"k": 3}, windows=[Window(12, TimeUnit.HOURS)]),
+            Aggregation(Operation.UNIQUE_COUNT, "cat", windows=[Window(3, TimeUnit.DAYS)]),
+            Aggregation(Operation.HISTOGRAM, "cat", windows=[Window(1, TimeUnit.DAYS)]),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="online_gb",
+    )
+    return df, path, gb
+
+
+def _queries(df, n=60, seed=9):
+    """(key, ts) points inside the servable range [BATCH_END, BATCH_END+1d)."""
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n).astype(str),
+            "ts": BATCH_END + rng.integers(1, DAY, n),
+        }
+    )
+
+
+def _expected(df, gb, qdf):
+    parts = gb.agg_parts()
+    oracle = NaiveOracle(parts)
+    out = []
+    for k, t in zip(qdf["k"], qdf["ts"]):
+        sub = df[df["k"] == k]
+        events = [
+            {"ts": int(r.ts), "v": None if pd.isna(r.v) else float(r.v), "cat": r.cat}
+            for r in sub.itertuples()
+        ]
+        out.append(oracle.aggregate(events, [int(t)])[0])
+    return out
+
+
+def _check(got_rows, exp_rows, parts):
+    for got, exp, i in zip(got_rows, exp_rows, range(len(got_rows))):
+        for p in parts:
+            g, e = got[p.output_column], exp[p.output_column]
+            if e is None:
+                assert g is None, (i, p.output_column, g)
+            elif isinstance(e, float):
+                assert g == pytest.approx(e, rel=1e-9), (i, p.output_column)
+            else:
+                assert g == e, (i, p.output_column, g, e)
+
+
+def test_upload_fetch_matches_offline(ray_session, online_fixture):
+    """The lambda (batch IR + streaming rows) equals a full recompute — the
+    zero-temporal-leakage property at the batch/stream seam."""
+    df, path, gb = online_fixture
+    upload = group_by_upload(gb, BATCH_END, num_buckets=8)
+    blob_map = load_upload(upload, ["k"])
+    assert len(blob_map) == df["k"].nunique()
+
+    fetcher = Fetcher(gb, BATCH_END, upload=blob_map)
+    # feed the FULL event set — the fetcher must drop the pre-seam half
+    fetcher.put_events(df)
+    assert fetcher.dropped_pre_seam == int((df["ts"] < BATCH_END).sum())
+
+    qdf = _queries(df)
+    got = [fetcher.fetch(k, int(t)) for k, t in zip(qdf["k"], qdf["ts"])]
+    _check(got, _expected(df, gb, qdf), gb.agg_parts())
+
+
+def test_seam_boundary_exact(ray_session, online_fixture):
+    """Events at ts == batch_end_ts belong to streaming exactly once."""
+    _, path, gb = online_fixture
+    df = pd.DataFrame(
+        {
+            "k": ["x"] * 3,
+            "ts": [BATCH_END - 1, BATCH_END, BATCH_END + 1],
+            "v": [1.0, 10.0, 100.0],
+            "cat": ["a", "b", "c"],
+        }
+    )
+    import pyarrow.parquet as pq_
+
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "seam.parquet")
+    pq_.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+    gb2 = GroupBy(
+        sources=[EventSource(table=p, query=Query())],
+        key_columns=["k"],
+        aggregations=[
+            Aggregation(Operation.SUM, "v"),
+            Aggregation(Operation.COUNT, "v", windows=[Window(1, TimeUnit.DAYS)]),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="seam_gb",
+    )
+    upload = group_by_upload(gb2, BATCH_END, num_buckets=2)
+    fetcher = Fetcher(gb2, BATCH_END, upload=load_upload(upload, ["k"]))
+    fetcher.put_events(df)
+    row = fetcher.fetch("x", BATCH_END + 2)
+    assert row["v_sum"] == pytest.approx(111.0)  # each event exactly once
+    assert row["v_count_1d"] == 3
+
+
+def test_tiled_streaming_matches_offline(ray_session, online_fixture):
+    df, path, gb = online_fixture
+    upload = group_by_upload(gb, BATCH_END, num_buckets=8)
+    fetcher = Fetcher(gb, BATCH_END, upload=load_upload(upload, ["k"]))
+    tiles = TileAggregator(gb, tile_ms=MILLIS_5MIN, allowed_lateness_ms=HOUR,
+                           batch_end_ts=BATCH_END)
+    # stream up to a cutoff; serving queries live at/after the watermark
+    cutoff = BATCH_END + 12 * HOUR
+    stream = df[(df["ts"] >= BATCH_END) & (df["ts"] < cutoff)].sort_values(
+        "ts", kind="stable"
+    )
+    for i in range(0, len(stream), 300):  # in-order micro-batches
+        tiles.process_batch(stream.iloc[i : i + 300])
+    assert tiles.late_count == 0
+    fetcher.attach_tiles(tiles)
+    # state compaction happened: sealed tiles exist, raw head is bounded
+    assert tiles.sealed_until is not None and tiles.tiles
+    qdf = _queries(df)
+    qdf = qdf[qdf["ts"] >= tiles.sealed_until].reset_index(drop=True)
+    assert len(qdf) > 10
+    got = [fetcher.fetch(k, int(t)) for k, t in zip(qdf["k"], qdf["ts"])]
+    seen = df[df["ts"] < cutoff]  # batch half + applied streaming rows
+    _check(got, _expected(seen, gb, qdf), gb.agg_parts())
+
+
+def test_late_events_counted_not_applied():
+    gb = GroupBy(
+        sources=[],
+        key_columns=["k"],
+        aggregations=[Aggregation(Operation.SUM, "v")],
+        accuracy=Accuracy.TEMPORAL,
+        name="late_gb",
+    )
+    tiles = TileAggregator(gb, tile_ms=MILLIS_5MIN, allowed_lateness_ms=0)
+    t0 = BASE
+    tiles.process_batch(pd.DataFrame({"k": ["a"], "ts": [t0 + 30 * MILLIS_5MIN], "v": [1.0]}))
+    # watermark = t0+30 tiles sealed through there; this event is 2 tiles old
+    tiles.process_batch(pd.DataFrame({"k": ["a"], "ts": [t0 + 28 * MILLIS_5MIN], "v": [100.0]}))
+    assert tiles.late_count == 1
+    row = tiles.query("a", t0 + 31 * MILLIS_5MIN)
+    assert row["v_sum"] == pytest.approx(1.0)  # late row never applied
+
+
+def test_online_enrich_stage(ray_session, online_fixture):
+    """OnlineEnrich as an actor-pool map_batches stage == per-row fetch."""
+    import ray
+    import ray.data
+
+    df, path, gb = online_fixture
+    upload_map = load_upload(group_by_upload(gb, BATCH_END, num_buckets=8), ["k"])
+    stream = df[df["ts"] >= BATCH_END]
+    upload_ref = ray.put(upload_map)
+    events_ref = ray.put(stream)
+    qdf = _queries(df, n=40)
+    out = (
+        ray.data.from_pandas(qdf)
+        .map_batches(
+            OnlineEnrich,
+            fn_constructor_args=(upload_ref, events_ref, gb, BATCH_END),
+            concurrency=2,
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    assert len(out) == len(qdf)
+    got = out.to_dict("records")
+    _check(got, _expected(df, gb, qdf), gb.agg_parts())
