@@ -2024,7 +2024,100 @@ FROM p GROUP BY user_id, ts
 """
 
 
+# ------------------------------------------------------------ log flattening
+
+
+def _logflatten_fixture(sf_dir: str) -> tuple[str, str]:
+    """Deterministic serving-log fixture derived from the events table:
+    JSON-encoded key/value blobs under two schema versions (v2 adds a
+    ``score`` field) plus rows pointing at an unregistered version ``vX``
+    (those must survive with null features).  The log text is built with
+    plain string concatenation so the oracle can reproduce the expected
+    typed values directly from the events view."""
+    import duckdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/raywin_logs_{tag}"
+    logs, schemas = f"{root}/logs.parquet", f"{root}/schemas.parquet"
+    if not (os.path.exists(logs) and os.path.exists(schemas)):
+        os.makedirs(root, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            f"""COPY (
+            SELECT 'enrich_v' AS join_name,
+              CASE WHEN event_id % 3 = 0 THEN 'v1'
+                   WHEN event_id % 3 = 1 THEN 'v2'
+                   ELSE 'vX' END AS schema_hash,
+              '{{"user_id": ' || user_id || '}}' AS key_json,
+              CASE WHEN event_id % 3 = 1 THEN
+                '{{"value_sum": ' || CAST(round(value * 100) AS BIGINT)
+                  || ', "cnt": ' || (event_id % 7)
+                  || ', "score": ' || CAST(round(value * 300) AS BIGINT) || '}}'
+              ELSE
+                '{{"value_sum": ' || CAST(round(value * 100) AS BIGINT)
+                  || ', "cnt": ' || (event_id % 7) || '}}'
+              END AS value_json,
+              epoch_ms(ts) AS ts,
+              strftime(ts, '%Y-%m-%d') AS ds
+            FROM '{sf_dir}/events.parquet' WHERE event_id % 4 = 0
+            ) TO '{logs}' (FORMAT PARQUET)"""
+        )
+        con.close()
+        import pyarrow.parquet as _pq
+
+        reg = pa.table(
+            {
+                "schema_hash": pa.array(["v1", "v2"], pa.string()),
+                "schema_json": pa.array(
+                    [
+                        '{"keys": [["user_id", "long"]],'
+                        ' "values": [["value_sum", "double"], ["cnt", "long"]]}',
+                        '{"keys": [["user_id", "long"]],'
+                        ' "values": [["value_sum", "double"], ["cnt", "long"],'
+                        ' ["score", "double"]]}',
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        _pq.write_table(reg, schemas)
+    return logs, schemas
+
+
+def log_flatten_query(sf_dir: str):
+    """Flatten JSON serving logs into a typed feature table with
+    schema-version union + null-fill (reference LogFlattenerJob.scala)."""
+    from .logflatten import flatten_logs
+
+    logs, schemas = _logflatten_fixture(sf_dir)
+    return flatten_logs(logs, schemas, join_name="enrich_v")
+
+
+# the oracle reconstructs the expected typed values straight from the events
+# view with the same deterministic expressions the fixture generator used —
+# if the JSON round-trip or the version-union decode mangles anything, the
+# value hash diverges
+LOG_FLATTEN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS tsm, strftime(ts, '%Y-%m-%d') AS ds,
+         CAST(round(value * 100) AS BIGINT) AS sv,
+         CAST(round(value * 300) AS BIGINT) AS sc
+  FROM events WHERE event_id % 4 = 0)
+SELECT
+  CASE WHEN event_id % 3 = 2 THEN NULL ELSE user_id END AS user_id,
+  CASE WHEN event_id % 3 = 2 THEN NULL ELSE CAST(sv AS DOUBLE) END AS value_sum,
+  CASE WHEN event_id % 3 = 2 THEN NULL ELSE CAST(event_id % 7 AS BIGINT) END AS cnt,
+  CASE WHEN event_id % 3 = 1 THEN CAST(sc AS DOUBLE) ELSE NULL END AS score,
+  tsm AS ts, ds,
+  CASE WHEN event_id % 3 = 0 THEN 'v1'
+       WHEN event_id % 3 = 1 THEN 'v2'
+       ELSE 'vX' END AS schema_hash
+FROM e
+"""
+
+
 ORACLE_QUERIES = {
+    "log_flatten": (log_flatten_query, LOG_FLATTEN_SQL),
     "online_serving": (online_serving, ONLINE_SERVING_SQL),
     "neardup_jaccard": (neardup_jaccard_docs, _neardup_jaccard_sql),
     "neardup_cosine": (neardup_cosine_pairs, NEARDUP_COSINE_SQL),
