@@ -2116,7 +2116,83 @@ FROM e
 """
 
 
+# --------------------------------------------------- consistency / compare
+
+
+def consistency_compare(sf_dir: str):
+    """CompareJob / online-offline-consistency metrics kernel (reference
+    stats/CompareMetrics.scala:52-130): the 'online' side is a deterministic
+    perturbation of the offline table — every 7th row's score shifted, every
+    11th nulled, every 13th event type rewritten — and the metrics must
+    localize exactly that drift per field per 6-hour bucket."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..functions.compare import compare_tables
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value", "event_type"]
+    )
+
+    def to_left(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": pc.divide(b["ts"].cast(pa.int64()), 1000),
+                "score": b["value"],
+                "etype": b["event_type"],
+            }
+        )
+
+    def to_right(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        val = b["value"].to_numpy(zero_copy_only=False)
+        score = pa.array(np.where(eid % 7 == 0, val + 0.5, val), pa.float64())
+        score = pc.if_else(pa.array(eid % 11 == 0), pa.nulls(len(b), pa.float64()), score)
+        etype = pc.if_else(pa.array(eid % 13 == 0), pa.scalar("ZZ"), b["event_type"])
+        return pa.table({"event_id": b["event_id"], "score": score, "etype": etype})
+
+    return compare_tables(
+        base.map_batches(to_left, batch_format="pyarrow"),
+        base.map_batches(to_right, batch_format="pyarrow"),
+        keys=["event_id"],
+        value_fields=[("score", pa.float64()), ("etype", pa.string())],
+        time_column="ts",
+        bucket_minutes=360,
+        num_buckets=N_BUCKETS,
+    )
+
+
+CONSISTENCY_SQL = f"""
+WITH e AS (SELECT event_id, epoch_ms(ts) AS ts, value, event_type FROM events),
+p AS (SELECT ts // {6 * HOUR} * {6 * HOUR} AS ts_bucket,
+        value AS ls, event_type AS le,
+        CASE WHEN event_id % 11 = 0 THEN NULL
+             WHEN event_id % 7 = 0 THEN value + 0.5 ELSE value END AS rs,
+        CASE WHEN event_id % 13 = 0 THEN 'ZZ' ELSE event_type END AS re
+      FROM e)
+SELECT ts_bucket,
+  CAST(sum(CASE WHEN ls IS NULL AND rs IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS score_both_null,
+  CAST(sum(CASE WHEN ls IS NULL AND rs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS score_left_null,
+  CAST(sum(CASE WHEN ls IS NOT NULL AND rs IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS score_right_null,
+  CAST(count(*) AS BIGINT) AS score_total,
+  CAST(sum(CASE WHEN ls IS NOT NULL AND rs IS NOT NULL AND ls <> rs THEN 1 ELSE 0 END) AS BIGINT) AS score_mismatch,
+  avg(CASE WHEN ls IS NULL OR rs IS NULL OR abs(ls) + abs(rs) = 0 THEN 0.0
+       ELSE 2 * abs(ls - rs) / (abs(ls) + abs(rs)) END) AS score_smape,
+  quantile_cont(ls - rs, 0.0) AS score_left_minus_right_p0,
+  quantile_cont(ls - rs, 0.5) AS score_left_minus_right_p50,
+  quantile_cont(ls - rs, 1.0) AS score_left_minus_right_p100,
+  CAST(sum(CASE WHEN le IS NULL AND re IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS etype_both_null,
+  CAST(sum(CASE WHEN le IS NULL AND re IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS etype_left_null,
+  CAST(sum(CASE WHEN le IS NOT NULL AND re IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS etype_right_null,
+  CAST(count(*) AS BIGINT) AS etype_total,
+  CAST(sum(CASE WHEN le IS NOT NULL AND re IS NOT NULL AND le <> re THEN 1 ELSE 0 END) AS BIGINT) AS etype_mismatch
+FROM p GROUP BY ts_bucket
+"""
+
+
 ORACLE_QUERIES = {
+    "consistency_compare": (consistency_compare, CONSISTENCY_SQL),
     "log_flatten": (log_flatten_query, LOG_FLATTEN_SQL),
     "online_serving": (online_serving, ONLINE_SERVING_SQL),
     "neardup_jaccard": (neardup_jaccard_docs, _neardup_jaccard_sql),
