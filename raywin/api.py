@@ -331,6 +331,51 @@ class ModelTransforms:
     passthrough_fields: Optional[list[str]] = None
 
 
+CONTEXTUAL_SOURCE_NAME = "contextual"
+
+
+@dataclass
+class ExternalSource:
+    """A feature source served by an external endpoint rather than a GroupBy
+    (reference api.thrift ExternalSource:319-326).  Schemas are declared
+    (name -> dtype string: long/double/string/bool); values are fetched by a
+    registered batch handler online, and offline either backfilled through
+    ``offline_group_by`` (PITC-capable externals), replayed from logs via
+    bootstrap, computed by the handler itself when it is deterministic, or
+    null-padded (reference Join.scala padExternalFields:90-120)."""
+
+    name: str
+    key_schema: dict[str, str]
+    value_schema: dict[str, str]
+    offline_group_by: Optional[GroupBy] = None
+
+    @property
+    def is_contextual(self) -> bool:
+        return self.name == CONTEXTUAL_SOURCE_NAME
+
+
+def ContextualSource(keys: dict[str, str]) -> ExternalSource:
+    """Left columns passed through as features (reference
+    ExternalSourceRegistry.scala ContextualHandler:31-38)."""
+    return ExternalSource(CONTEXTUAL_SOURCE_NAME, keys, keys)
+
+
+@dataclass
+class ExternalPart:
+    """One ExternalSource attached to a Join (reference api.thrift:320-327).
+    Output value columns are ``{full_name}_{field}`` with
+    full_name = ext_[prefix_]{source name} (Extensions.scala:708-748)."""
+
+    source: ExternalSource
+    key_mapping: Optional[dict[str, str]] = None  # left col -> source key
+    prefix: Optional[str] = None
+
+    @property
+    def full_name(self) -> str:
+        pfx = f"{self.prefix}_" if self.prefix else ""
+        return f"ext_{pfx}{self.source.name}"
+
+
 @dataclass
 class Join:
     """Left table of (keys..., ts) enriched with the as-of value of many
@@ -344,6 +389,7 @@ class Join:
     row_ids: Optional[list[str]] = None
     bootstrap_parts: Optional[list[BootstrapPart]] = None
     model_transforms: Optional[ModelTransforms] = None
+    online_external_parts: Optional[list[ExternalPart]] = None
 
 
 def semantic_hash(obj) -> str:

@@ -2116,6 +2116,82 @@ FROM e
 """
 
 
+# ------------------------------------------------------- external sources
+
+
+def external_enrich(sf_dir: str):
+    """Join with online external parts resolved offline (reference
+    ExternalSourceRegistry.scala:30-120, Extensions.scala:1027-1056,
+    Join.scala padExternalFields:90-120): a contextual part (keys pass
+    through as features), a pure-handler part replayed as an actor-pool
+    batch fetch, an offline-capable part riding the PITC kernel as a
+    synthetic join part, and an unresolvable part null-padded."""
+    from ..api import ContextualSource, ExternalPart, ExternalSource
+    from ..stages.external import REGISTRY
+    from .join import backfill_join
+
+    def geo_handler(keys: pa.Table) -> pa.Table:
+        uid = keys["user_id"].to_numpy()
+        return pa.table(
+            {
+                "region": pa.array(uid % 5, pa.int64()),
+                "tier": pa.array(np.where(uid % 2 == 0, "even", "odd")),
+            }
+        )
+
+    if REGISTRY.get("geo") is None:
+        REGISTRY.add("geo", geo_handler, pure=True)
+
+    ogb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation(Operation.COUNT, "value", windows=[Window(7, TimeUnit.DAYS)])
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="paycount",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[],
+        row_ids=["event_id"],
+        online_external_parts=[
+            ExternalPart(ContextualSource({"user_id": "long"})),
+            ExternalPart(
+                ExternalSource(
+                    "geo", {"user_id": "long"}, {"region": "long", "tier": "string"}
+                )
+            ),
+            ExternalPart(
+                ExternalSource(
+                    "payments", {"user_id": "long"}, {}, offline_group_by=ogb
+                ),
+                prefix="p",
+            ),
+            ExternalPart(ExternalSource("fraud", {"user_id": "long"}, {"flag": "bool"})),
+        ],
+        name="external_enrich",
+    )
+    return backfill_join(join, num_buckets=N_BUCKETS)
+
+
+EXTERNAL_ENRICH_SQL = f"""
+WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts, value FROM events),
+c AS (SELECT l.event_id,
+        nullif(count(r.value) FILTER (WHERE r.ts < l.ts
+              AND r.ts >= (l.ts - {7 * DAY})//{HOUR}*{HOUR}), 0) AS cnt7
+      FROM e l LEFT JOIN e r ON r.user_id = l.user_id
+      GROUP BY l.event_id, l.ts)
+SELECT e.event_id, e.user_id, e.ts,
+  e.user_id AS ext_contextual_user_id,
+  CAST(e.user_id % 5 AS BIGINT) AS ext_geo_region,
+  CASE WHEN e.user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS ext_geo_tier,
+  c.cnt7 AS ext_p_payments_value_count_7d,
+  CAST(NULL AS BOOLEAN) AS ext_fraud_flag
+FROM e JOIN c USING (event_id)
+"""
+
+
 # --------------------------------------------------- consistency / compare
 
 
@@ -2192,6 +2268,7 @@ FROM p GROUP BY ts_bucket
 
 
 ORACLE_QUERIES = {
+    "external_enrich": (external_enrich, EXTERNAL_ENRICH_SQL),
     "consistency_compare": (consistency_compare, CONSISTENCY_SQL),
     "log_flatten": (log_flatten_query, LOG_FLATTEN_SQL),
     "online_serving": (online_serving, ONLINE_SERVING_SQL),

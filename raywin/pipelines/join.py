@@ -284,8 +284,9 @@ def backfill_join(
     out = left
 
     if assembly == "chain":
-        n_left = left.count() if join.join_parts else 0
-        out_names = list(left.schema().names) if join.join_parts else []
+        has_parts = bool(join.join_parts or join.online_external_parts)
+        n_left = left.count() if has_parts else 0
+        out_names = list(left.schema().names) if has_parts else []
         for i, part in enumerate(join.join_parts):
             out, out_names = _chain_part_with_bootstrap(
                 part, out, bs_cover.get(i), num_buckets, n_left, out_names,
@@ -311,6 +312,13 @@ def backfill_join(
         for feats, left_keys in part_tables:
             join_keys = list(dict.fromkeys(left_keys + ["ts"]))
             out = bucketed_left_join(out, feats, join_keys, num_buckets=num_buckets, how="left")
+    if join.online_external_parts:
+        assert assembly == "chain", "external parts require the chained assembly"
+        from ..stages.external import enrich_external
+
+        out, out_names = enrich_external(
+            out, join, out_names, num_buckets, n_left=n_left
+        )
     if join.bootstrap_parts:
         from .bootstrap import MATCHED_HASHES
 
