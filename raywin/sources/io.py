@@ -34,7 +34,15 @@ def _is_lance(path: str) -> bool:
     )
 
 
+def _is_local_file(path: str) -> bool:
+    return path.endswith((".csv", ".json", ".jsonl"))
+
+
 def table_schema(path: str):
+    if _is_local_file(path):
+        from .local import local_schema
+
+        return local_schema(path)
     if _is_lance(path):
         if _lance is None:
             raise ImportError(
@@ -54,6 +62,11 @@ def read_table(path: str, columns: list[str] | None = None) -> "ray.data.Dataset
     """Columnar scan with projection pushdown — only needed columns leave
     storage (pass filters via Query.wheres; row-group/fragment pruning is
     handled by the reader)."""
+    if _is_local_file(path):
+        from .local import read_local
+
+        ds = read_local(path)
+        return ds.select_columns(columns) if columns else ds
     if _is_lance(path):
         if _lance is None:
             raise ImportError(
