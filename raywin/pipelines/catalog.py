@@ -1038,6 +1038,36 @@ FROM s WHERE rank = 1
 """
 
 
+def ivf_ann_docs(sf_dir: str):
+    """IVF (k-means coarse quantizer) ANN validated the same two ways as the
+    LSH variant: top-1 must equal the global brute-force top-1 (a corpus row
+    identical to the query always lands in the query's own probed cell), and
+    recall@5 vs the independent brute-force pipeline must clear a floor."""
+    import ray.data
+
+    from ..stages.ann import brute_force_topk, ivf_bucketed_topk
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    qvecs, qids = _query_vectors(emb_path, 4)
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ivf = ivf_bucketed_topk(ds, qvecs, qids, "embedding", "vec_id", k=5,
+                            n_centroids=8, nprobe=3)
+    brute = brute_force_topk(ds, qvecs, qids, "embedding", "vec_id", k=5)
+    idf = ivf.to_pandas()  # tiny: n_queries x k rows
+    bdf = brute.to_pandas()
+    rows = []
+    for qid in sorted(idf["query_id"].unique()):
+        iq = idf[idf["query_id"] == qid]
+        bq = set(bdf[bdf["query_id"] == qid]["vec_id"])
+        top1 = int(iq[iq["rank"] == 1]["vec_id"].iloc[0])
+        recall = len(set(iq["vec_id"]) & bq) / max(len(bq), 1)
+        rows.append((int(qid), top1, bool(recall >= 0.6)))
+    return pd.DataFrame(rows, columns=["query_id", "top1_vec_id", "recall_ok"])
+
+
+IVF_ANN_SQL = LSH_ANN_SQL
+
+
 _IMG_SMALL_PATH = "/tmp/raywin_img_small"
 
 
@@ -2311,6 +2341,7 @@ ORACLE_QUERIES.update(
         "image_backfill": (image_backfill_small, _image_backfill_sql),
         "approx_sketches": (approx_distinct_users, APPROX_SKETCHES_SQL),
         "lsh_ann": (lsh_ann_docs, LSH_ANN_SQL),
+        "ivf_ann": (ivf_ann_docs, IVF_ANN_SQL),
         "drift_stats": (drift_stats_demo, DRIFT_STATS_SQL),
         "list_explode_agg": (list_explode_agg, LIST_EXPLODE_SQL),
         "map_column_agg": (map_column_agg, MAP_COLUMN_SQL),

@@ -2,8 +2,9 @@
 
 Baseline: brute-force cosine top-k — the query matrix is broadcast once with
 ``ray.put`` and every batch does one numpy matmul against it (never a shuffle
-of the corpus).  Scale path: LSH-bucketed variant (random hyperplane signs)
-that prunes each batch to candidate buckets before the matmul.
+of the corpus).  Scale paths: LSH-bucketed variant (random hyperplane signs)
+and IVF variant (k-means coarse quantizer, nprobe nearest cells) — both prune
+each batch to candidate rows before the matmul; the corpus never shuffles.
 """
 
 from __future__ import annotations
@@ -128,6 +129,78 @@ def lsh_bucketed_topk(ds, query_vectors: np.ndarray, query_ids, vec_col: str, id
             return super().__call__(batch)
 
     local = ds.map_batches(Pruned, batch_format="pyarrow", concurrency=(1, 8))
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def train_ivf_centroids(ds, vec_col: str, n_centroids: int = 16,
+                        sample_size: int = 4096, iters: int = 10,
+                        seed: int = 7) -> np.ndarray:
+    """Coarse quantizer for the IVF variant: Lloyd's k-means (spherical —
+    centroids renormalized each round, assignment by max dot product) over a
+    BOUNDED sample.  ``ds.limit(sample_size)`` keeps driver memory constant
+    at any corpus scale; at 100 TB the sample is still ``sample_size`` rows.
+    Deterministic for a fixed seed."""
+    sample = ds.limit(sample_size).to_pandas()
+    vecs = _normalize(np.asarray(sample[vec_col].tolist(), dtype=np.float64))
+    n_c = min(n_centroids, len(vecs))
+    rng = np.random.default_rng(seed)
+    cents = vecs[rng.choice(len(vecs), size=n_c, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        for c in range(n_c):
+            pts = vecs[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_bucketed_topk(ds, query_vectors: np.ndarray, query_ids, vec_col: str,
+                      id_col: str, k: int, n_centroids: int = 16,
+                      nprobe: int = 4, centroids: np.ndarray | None = None):
+    """Approximate cosine top-k via an IVF (inverted-file) coarse quantizer:
+    each corpus row is assigned per batch to its nearest k-means centroid and
+    kept only if that cell is among some query's ``nprobe`` closest cells.
+    Same scale shape as the LSH variant — centroids broadcast once with
+    ``ray.put``, vectorized assign+filter+matmul per batch, corpus never
+    shuffled or materialized.  Pass precomputed ``centroids`` to reuse a
+    trained quantizer across calls."""
+    import ray
+
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, vec_col, n_centroids)
+    # union of every query's nprobe nearest cells (allowed-cell mask)
+    sims_qc = q @ centroids.T  # (nq, nc)
+    npb = min(nprobe, centroids.shape[0])
+    probe = np.argpartition(-sims_qc, npb - 1, axis=1)[:, :npb]
+    allowed = np.zeros(centroids.shape[0], dtype=bool)
+    allowed[np.unique(probe)] = True
+    ref = ray.put(np.asarray(query_vectors, dtype=np.float64))
+    cell_ref = ray.put((centroids, allowed))
+
+    class IvfPruned(_BatchTopK):
+        def __init__(self):
+            super().__init__(ref, query_ids, vec_col, id_col, k)
+            cents, mask = ray.get(cell_ref)
+            self.cents = cents
+            self.allowed = mask
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+            if len(vecs):
+                cell = np.argmax(_normalize(vecs) @ self.cents.T, axis=1)
+                batch = batch.filter(pa.array(self.allowed[cell]))
+            return super().__call__(batch)
+
+    local = ds.map_batches(IvfPruned, batch_format="pyarrow", concurrency=(1, 8))
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
