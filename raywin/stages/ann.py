@@ -19,6 +19,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(norms, 1e-12)
 
 
+def vecs_to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow list<float>/fixed_size_list<float> column -> (n, d) float64
+    matrix without a Python-object detour: flatten the child values
+    (zero-copy for non-null fixed-dim data) and reshape.  Falls back to
+    ``to_pylist`` only for ragged rows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return np.asarray(flat, dtype=np.float64).reshape(len(col), d)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if col.null_count == 0 and len(widths) and (widths == widths[0]).all():
+            d = int(widths[0])
+            flat = col.values.to_numpy(zero_copy_only=False)
+            # offsets may not start at 0 after slicing
+            flat = flat[offs[0] : offs[0] + len(col) * d]
+            return np.asarray(flat, dtype=np.float64).reshape(len(col), d)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
 class _BatchTopK:
     """Per-batch local top-k candidates vs the broadcast query matrix."""
 
@@ -32,7 +57,7 @@ class _BatchTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        vecs = vecs_to_numpy(batch[self.vec_col])
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         if len(vecs) == 0:
             return pa.table(
@@ -120,7 +145,7 @@ def lsh_bucketed_topk(ds, query_vectors: np.ndarray, query_ids, vec_col: str, id
             self.sigs = sigs
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+            vecs = vecs_to_numpy(batch[self.vec_col])
             if len(vecs):
                 signs = (_normalize(vecs) @ self.planes.T) > 0
                 sig = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
@@ -194,7 +219,7 @@ def ivf_bucketed_topk(ds, query_vectors: np.ndarray, query_ids, vec_col: str,
             self.allowed = mask
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+            vecs = vecs_to_numpy(batch[self.vec_col])
             if len(vecs):
                 cell = np.argmax(_normalize(vecs) @ self.cents.T, axis=1)
                 batch = batch.filter(pa.array(self.allowed[cell]))

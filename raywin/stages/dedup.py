@@ -283,8 +283,10 @@ def cosine_neardup_pairs(ds, tau: float, id_col: str = "vec_id",
     @ray.remote
     def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
         def mat(t):
+            from .ann import vecs_to_numpy
+
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            m = np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
+            m = vecs_to_numpy(t[emb_col])
             n = np.linalg.norm(m, axis=1, keepdims=True)
             return ids, m / np.maximum(n, 1e-30)
 
