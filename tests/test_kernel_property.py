@@ -1,0 +1,77 @@
+"""Property-based kernel-vs-NaiveOracle check (hypothesis).
+
+The parametrized random suite (test_kernel_vs_oracle.py) covers one fixed
+distribution; here hypothesis searches the adversarial corners: timestamps
+ON hop boundaries, events exactly at query ts (strict-head exclusion),
+duplicate timestamps, single-event keys, all-null values, windows equal to
+or one hop larger than the data span.
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raywin.api import Aggregation, Operation, TimeUnit, Window
+from tests.test_kernel_vs_oracle import BASE_TS, run_case
+
+HOUR = 3600 * 1000
+HOP = 5 * 60 * 1000  # FiveMinuteResolution tail hop for hourly windows
+
+# offsets biased to land exactly on hop boundaries and their neighbours
+offset = st.one_of(
+    st.integers(0, 48).map(lambda h: h * HOP),
+    st.integers(0, 48).map(lambda h: h * HOP + 1),
+    st.integers(0, 48).map(lambda h: h * HOP - 1),
+    st.integers(0, 4 * 24 * HOUR),
+)
+
+event = st.tuples(
+    st.sampled_from(["a", "b"]),
+    offset,
+    st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+)
+
+OPS = [
+    Operation.SUM,
+    Operation.COUNT,
+    Operation.AVERAGE,
+    Operation.MIN,
+    Operation.MAX,
+    Operation.VARIANCE,
+    Operation.FIRST,
+    Operation.LAST,
+    Operation.UNIQUE_COUNT,
+]
+
+
+@settings(max_examples=75, deadline=None)
+@given(
+    events=st.lists(event, min_size=1, max_size=40),
+    query_offsets=st.lists(offset, min_size=1, max_size=10),
+    window_hours=st.sampled_from([1, 2, 24, 7 * 24, None]),  # None = unbounded
+    op=st.sampled_from(OPS),
+    tie_query=st.booleans(),
+)
+def test_kernel_matches_oracle(events, query_offsets, window_hours, op, tie_query):
+    ev = pd.DataFrame(
+        {
+            "user": [e[0] for e in events],
+            "ts": np.array([BASE_TS + e[1] for e in events], dtype=np.int64),
+            "value": np.array(
+                [np.nan if e[2] is None else e[2] for e in events], dtype=np.float64
+            ),
+            "seq": np.arange(len(events)),
+        }
+    )
+    q_ts = [BASE_TS + o for o in query_offsets]
+    if tie_query:
+        q_ts.append(int(ev["ts"].iloc[0]))  # exact tie with an event
+    q = pd.DataFrame(
+        {
+            "user": ["a", "b"] * len(q_ts),
+            "ts": np.array(q_ts * 2, dtype=np.int64),
+        }
+    )
+    win = Window(-1) if window_hours is None else Window(window_hours, TimeUnit.HOURS)
+    run_case([Aggregation(op, "value", windows=[win])], ev=ev, q=q)
