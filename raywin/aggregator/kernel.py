@@ -796,6 +796,11 @@ class PartitionAggregator:
         vals = col.comp_vals
         op = part.operation
         if op in (Operation.FIRST, Operation.LAST):
+            if len(vals) == 0:  # every value in the partition is null:
+                # the placeholder index 0 below would be out of bounds
+                out = np.empty(nq, dtype=object)
+                out[:] = None
+                return out
             idx = np.where(has, np.where(op is Operation.FIRST, lv, rv - 1), 0)
             picked = vals[idx]
             out = np.empty(nq, dtype=object)
