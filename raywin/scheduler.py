@@ -142,6 +142,19 @@ class LocalOrchestrator:
                        "completed_at": time.time()}, f)
         os.replace(tmp, p)
 
+    @staticmethod
+    def _preload_lazy_imports():
+        """Python imports are not atomic across threads: two concurrent
+        ``read_parquet`` calls can race on fsspec's lazily-imported
+        filesystem modules and one sees a half-initialized module
+        (ImportError: cannot import name 'HTTPFileSystem').  Import them
+        once on the orchestrator thread before fanning out."""
+        for mod in ("fsspec.implementations.http", "fsspec.implementations.local"):
+            try:
+                __import__(mod)
+            except Exception:
+                pass
+
     def run(self, flow: Flow, lineage: str | None = None) -> dict[str, StepResult]:
         order = flow.topo_order()
         results: dict[str, StepResult] = {}
@@ -154,16 +167,22 @@ class LocalOrchestrator:
         def execute(name: str) -> StepResult:
             if self._is_done(flow, name, lineage):
                 return StepResult("resumed")
+            step = flow.find_step(name)
+            attempts = 1 + int(step.settings.get("retries", 0))
             t0 = time.perf_counter()
-            try:
-                value = flow.find_step(name).fn()
-            except Exception:
-                return StepResult(
-                    "failed", time.perf_counter() - t0, error=traceback.format_exc()
-                )
-            dt = time.perf_counter() - t0
-            self._mark(flow, name, lineage, dt)
-            return StepResult("ok", dt, value=value)
+            for attempt in range(attempts):
+                try:
+                    value = step.fn()
+                except Exception:
+                    if attempt + 1 < attempts:
+                        continue
+                    return StepResult(
+                        "failed", time.perf_counter() - t0,
+                        error=traceback.format_exc(),
+                    )
+                dt = time.perf_counter() - t0
+                self._mark(flow, name, lineage, dt)
+                return StepResult("ok", dt, value=value)
 
         pending = list(order)
         if self.max_parallel == 1:
@@ -174,6 +193,7 @@ class LocalOrchestrator:
                 results[name] = execute(name)
             return results
 
+        self._preload_lazy_imports()
         with ThreadPoolExecutor(max_workers=self.max_parallel) as pool:
             futures = {}
             while pending or futures:
@@ -264,5 +284,7 @@ def flow_from_backfill(
                 start_ds=a, end_ds=b, step_days=step_days, **kwargs,
             )
 
-        flow.add_step(f"partition_{label}", _run, deps=("validate",))
+        # one retry: partition work is idempotent (manifest-guarded), and a
+        # retry absorbs transient worker-side import/startup flakes
+        flow.add_step(f"partition_{label}", _run, deps=("validate",), retries=1)
     return flow

@@ -68,6 +68,26 @@ def test_resume_markers_respect_lineage(tmp_path):
     assert calls == ["a", "b", "a", "b"]
 
 
+def test_retries_setting():
+    attempts = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("transient")
+        return "finally"
+
+    f = Flow("retry")
+    f.add_step("a", flaky, retries=2)
+    res = LocalOrchestrator().run(f)
+    assert res["a"].status == "ok" and res["a"].value == "finally"
+    assert len(attempts) == 3
+
+    g = Flow("retry2")
+    g.add_step("a", lambda: 1 / 0, retries=1)
+    assert LocalOrchestrator().run(g)["a"].status == "failed"
+
+
 def test_parallel_independent_steps():
     f = Flow("par")
     barrier = threading.Barrier(2, timeout=10)
