@@ -75,3 +75,77 @@ def test_kernel_matches_oracle(events, query_offsets, window_hours, op, tie_quer
     )
     win = Window(-1) if window_hours is None else Window(window_hours, TimeUnit.HOURS)
     run_case([Aggregation(op, "value", windows=[win])], ev=ev, q=q)
+
+
+K_OPS = [Operation.LAST_K, Operation.FIRST_K, Operation.TOP_K, Operation.BOTTOM_K]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    events=st.lists(event, min_size=1, max_size=30),
+    query_offsets=st.lists(offset, min_size=1, max_size=8),
+    window_hours=st.sampled_from([1, 24, None]),
+    op=st.sampled_from(K_OPS),
+    k=st.sampled_from([1, 3]),
+)
+def test_k_ops_match_oracle(events, query_offsets, window_hours, op, k):
+    ev = pd.DataFrame(
+        {
+            "user": [e[0] for e in events],
+            "ts": np.array([BASE_TS + e[1] for e in events], dtype=np.int64),
+            "value": np.array(
+                [np.nan if e[2] is None else e[2] for e in events], dtype=np.float64
+            ),
+            "seq": np.arange(len(events)),
+        }
+    )
+    q = pd.DataFrame(
+        {
+            "user": ["a", "b"] * len(query_offsets),
+            "ts": np.array(
+                [BASE_TS + o for o in query_offsets] * 2, dtype=np.int64
+            ),
+        }
+    )
+    win = Window(-1) if window_hours is None else Window(window_hours, TimeUnit.HOURS)
+    run_case([Aggregation(op, "value", windows=[win], arg_map={"k": k})], ev=ev, q=q)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            offset,
+            st.floats(-50, 50, allow_nan=False),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    query_offsets=st.lists(offset, min_size=1, max_size=6),
+    op=st.sampled_from([Operation.SUM, Operation.COUNT, Operation.AVERAGE]),
+)
+def test_bucketed_matches_oracle(events, query_offsets, op):
+    ev = pd.DataFrame(
+        {
+            "user": [e[0] for e in events],
+            "ts": np.array([BASE_TS + e[1] for e in events], dtype=np.int64),
+            "value": np.array([e[2] for e in events], dtype=np.float64),
+            "tag": [e[3] for e in events],
+            "seq": np.arange(len(events)),
+        }
+    )
+    q = pd.DataFrame(
+        {
+            "user": ["a", "b"] * len(query_offsets),
+            "ts": np.array(
+                [BASE_TS + o for o in query_offsets] * 2, dtype=np.int64
+            ),
+        }
+    )
+    run_case(
+        [Aggregation(op, "value", windows=[Window(24, TimeUnit.HOURS)], buckets=["tag"])],
+        ev=ev,
+        q=q,
+    )
