@@ -27,9 +27,14 @@ import sys
 
 
 def load_conf(spec: str):
-    """'pkg.module:attr' -> the conf object (GroupBy / Join / StagingQuery)."""
+    """'pkg.module:attr' or a compiled '*.json' artifact -> the conf object
+    (GroupBy / Join / StagingQuery)."""
+    if spec.endswith(".json"):
+        from .repo import load_compiled
+
+        return load_compiled(spec)
     if ":" not in spec:
-        raise SystemExit(f"--conf must be module:attr, got {spec!r}")
+        raise SystemExit(f"--conf must be module:attr or a compiled .json, got {spec!r}")
     mod_name, attr = spec.split(":", 1)
     sys.path.insert(0, os.getcwd())
     mod = importlib.import_module(mod_name)
@@ -58,15 +63,26 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="raywin.run", description=__doc__)
     p.add_argument("--mode", required=True, choices=[
         "join-backfill", "groupby-backfill", "analyze", "validate",
-        "staging-query",
+        "staging-query", "compile",
     ])
-    p.add_argument("--conf", required=True, help="module:attr of the config object")
+    p.add_argument("--conf", required=True,
+                   help="module:attr or compiled .json of the config object; "
+                        "for --mode compile, the conf DIRECTORY to walk")
     p.add_argument("--output", help="output table path (parquet dir or *.lance)")
     p.add_argument("--start", help="start ds (YYYY-MM-DD), groupby-backfill/staging")
     p.add_argument("--end", help="end ds (YYYY-MM-DD), groupby-backfill/staging")
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--step-days", type=int, default=1)
     args = p.parse_args(argv)
+
+    if args.mode == "compile":  # pure driver-side, no Ray session needed
+        if not args.output:
+            raise SystemExit("--output required for compile")
+        from .repo import compile_repo
+
+        report = compile_repo(args.conf, args.output)
+        print(json.dumps(report, indent=2))
+        return 1 if report["errors"] else 0
 
     import ray
 
