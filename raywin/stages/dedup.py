@@ -223,31 +223,37 @@ def lsh_candidate_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16,
 
 
 def verified_neardup_pairs(ds, text_col: str, id_col: str, threshold: float,
-                           shingle=5, num_perm=64, bands=16, num_buckets=64):
+                           shingle=5, num_perm=64, bands=16, num_buckets=64,
+                           broadcast_cutoff: int = 200_000):
     """MinHash-LSH candidates -> exact n-gram-Jaccard verification: the full
     near-dup pipeline (candidate generation is sub-quadratic and shuffles only
-    signatures; only candidate pairs ever fetch payload text, via two bucketed
-    joins). Output: (a, b, jaccard) for verified pairs with J >= threshold
-    over whitespace-normalized text (same normalization as the signatures).
+    signatures; only candidate pairs ever fetch payload text).  Output:
+    (a, b, jaccard) for verified pairs with J >= threshold over
+    whitespace-normalized text (same normalization as the signatures).
+
+    Text fetch has two modes, like the join's small-mode pruning:
+      * candidate set <= broadcast_cutoff pairs (the common case — near-dup
+        pairs are rare relative to the corpus): the candidate doc ids are
+        broadcast once with ``ray.put``, the corpus scan semi-filters to
+        candidate docs (bounded: <= 2 x cutoff rows), their texts broadcast,
+        and verification is ONE map_batches over the pairs — no hash joins.
+      * bigger candidate sets fall back to two bucketed hash joins, which
+        never hold more than a bucket of texts per task.
 
     Reference analogue: Chronon has no corpus dedup; the shape mirrors the
     standard MinHash-LSH + verify design (Broder). At thresholds below ~0.8
     LSH recall decays (see lsh_candidate_pairs) — widen bands/perms then."""
+    import ray
+
     from ..functions.relational import bucketed_left_join
     from ..functions.texthash import normalize_ws
 
     cand = lsh_candidate_pairs(ds, text_col, id_col, num_perm, bands, shingle,
-                               num_buckets)
+                               num_buckets).materialize()  # compact (a, b)
+    n_cand = cand.count()
     docs = ds.select_columns([id_col, text_col])
-    a_side = docs.rename_columns({id_col: "a", text_col: "__text_a"})
-    b_side = docs.rename_columns({id_col: "b", text_col: "__text_b"})
-    nb = max(8, num_buckets // 8)
-    withl = bucketed_left_join(cand, a_side, on=["a"], num_buckets=nb, how="inner")
-    withr = bucketed_left_join(withl, b_side, on=["b"], num_buckets=nb, how="inner")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ta = normalize_ws(g["__text_a"]).tolist()
-        tb = normalize_ws(g["__text_b"]).tolist()
+    def verify_frame(g: pd.DataFrame, ta, tb) -> pd.DataFrame:
         j = np.fromiter(
             (ngram_jaccard(x, y, shingle) for x, y in zip(ta, tb)),
             dtype=np.float64, count=len(g),
@@ -255,6 +261,58 @@ def verified_neardup_pairs(ds, text_col: str, id_col: str, threshold: float,
         out = g[["a", "b"]].copy()
         out["jaccard"] = np.round(j, 6)
         return out[j >= threshold]
+
+    if n_cand <= broadcast_cutoff:
+        id_tbl = pa.concat_tables(
+            cand.select_columns(["a", "b"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        wanted = np.unique(
+            np.concatenate([
+                id_tbl["a"].to_numpy(zero_copy_only=False),
+                id_tbl["b"].to_numpy(zero_copy_only=False),
+            ])
+        )
+        wanted_ref = ray.put(wanted)
+
+        def semi(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(ids, ray.get(wanted_ref))))
+
+        hits = pa.concat_tables(
+            docs.map_batches(semi, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )  # bounded: <= 2 x broadcast_cutoff rows
+        texts = dict(
+            zip(
+                hits[id_col].to_pylist(),
+                normalize_ws(pd.Series(hits[text_col].to_pylist())).tolist(),
+            )
+        )
+        texts_ref = ray.put(texts)
+
+        def verify_bcast(g: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(texts_ref)
+            ta = [lut.get(x, "") for x in g["a"]]
+            tb = [lut.get(x, "") for x in g["b"]]
+            return verify_frame(g, ta, tb)
+
+        return cand.map_batches(verify_bcast, batch_format="pandas")
+
+    a_side = docs.rename_columns({id_col: "a", text_col: "__text_a"})
+    b_side = docs.rename_columns({id_col: "b", text_col: "__text_b"})
+    nb = max(8, num_buckets // 8)
+    withl = bucketed_left_join(cand, a_side, on=["a"], num_buckets=nb, how="inner")
+    withr = bucketed_left_join(withl, b_side, on=["b"], num_buckets=nb, how="inner")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        return verify_frame(
+            g,
+            normalize_ws(g["__text_a"]).tolist(),
+            normalize_ws(g["__text_b"]).tolist(),
+        )
 
     return withr.map_batches(verify, batch_format="pandas")
 
