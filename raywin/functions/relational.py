@@ -133,6 +133,67 @@ def bucketed_left_join(left_ds, right_ds, on: list[str], num_buckets: int = 64, 
     return bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format="pyarrow")
 
 
+class _MultiBucketJoinKernel:
+    """map_groups fn: split a co-partitioned bucket by side tag and merge the
+    left side with EVERY right side sequentially (all sides share the join
+    key, so one exchange co-locates them all)."""
+
+    def __init__(self, on, left_names, right_names_list):
+        self.__name__ = "MultiBucketJoin"
+        self.on = list(on)
+        self.left_names = left_names
+        self.right_names_list = right_names_list
+
+    def __call__(self, group):
+        import pyarrow as pa_
+
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        out = group.filter(pa_.array(side == 0)).select(self.left_names).to_pandas()
+        for i, rn in enumerate(self.right_names_list):
+            rt = group.filter(pa_.array(side == i + 1)).select(rn).to_pandas()
+            out = out.merge(rt, on=self.on, how="left")
+        return out
+
+
+def bucketed_multi_left_join(left_ds, rights, on: list[str], num_buckets: int = 64):
+    """left ⟕ SEVERAL right tables that all join on the same key, in ONE
+    hash(on) co-partitioning shuffle (instead of one shuffle per right).
+    ``rights`` is a list of Datasets; their non-key column names must be
+    disjoint from the left's and each other's (prefix them first)."""
+    import numpy as np_
+    import pyarrow as pa_
+
+    from ..pipelines.group_by import _arrow_schema
+    from ..stages.shuffle import (
+        BUCKET_COL, SIDE_COL, AddBucket, pad_to_schema, unify_schemas,
+    )
+
+    l_schema = _arrow_schema(left_ds)
+    r_schemas = [_arrow_schema(r) for r in rights]
+    unified = l_schema
+    for rs in r_schemas:
+        unified = unify_schemas(unified, rs, {})
+    unified = unify_schemas(unified, pa_.schema([]), {SIDE_COL: pa_.int8()})
+
+    def tag(side_val):
+        def fn(batch: pa_.Table) -> pa_.Table:
+            batch = batch.append_column(
+                SIDE_COL, pa_.array(np_.full(len(batch), side_val, dtype=np_.int8))
+            )
+            return pad_to_schema(batch, unified)
+
+        return fn
+
+    unioned = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    for i, r in enumerate(rights):
+        unioned = unioned.union(r.map_batches(tag(i + 1), batch_format="pyarrow"))
+    bucketed = unioned.map_batches(AddBucket(list(on), num_buckets), batch_format="pyarrow")
+    kernel = _MultiBucketJoinKernel(
+        on, list(l_schema.names), [list(rs.names) for rs in r_schemas]
+    )
+    return bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format="pyarrow")
+
+
 def broadcast_lookup_join(ds, small_df, on: list[str], how: str = "inner"):
     """Join a Dataset against a SMALL pandas table without a shuffle: the
     small side is put in the object store once (ray.put) and merged per batch

@@ -101,63 +101,95 @@ def bootstrap_left(left_ds, join: Join, num_buckets: int = 64):
 
     dataset carries all bootstrapped value columns plus MATCHED_HASHES;
     hash_to_cols maps each part's semantic hash to the value columns it
-    provides (the reference's BootstrapInfo.hashToSchema)."""
-    from ..functions.relational import bucketed_left_join
+    provides (the reference's BootstrapInfo.hashToSchema).
+
+    CONSECUTIVE parts that join on the same key run (production bootstrap
+    tables almost always key on the join's row_ids) are fused into ONE
+    co-partitioning shuffle via ``bucketed_multi_left_join`` — N tables cost
+    one exchange, not N.  Each part's value columns get a unique prefix for
+    the fused join, then a single vectorized fold applies the parts in
+    declaration order (earlier bootstrap wins on overlap) so semantics match
+    the sequential reference loop (Join.scala:524-546)."""
+    from ..functions.relational import bucketed_multi_left_join
 
     from .group_by import _arrow_schema
 
     hash_to_cols: dict[str, set[str]] = {}
     out = left_ds
     # track names statically: probing each intermediate join's schema would
-    # execute its whole map_groups pipeline once per bootstrap part
+    # execute its whole map_groups pipeline once per bootstrap run
     names = list(_arrow_schema(left_ds).names)
-    for part in join.bootstrap_parts or []:
-        bs_ds, keys, value_cols = scan_bootstrap_part(part, join)
-        h = part.hash_value()
-        hash_to_cols[h] = set(value_cols)
-        existing = set(names)
-        names = names + [c for c in value_cols if c not in existing]
-        if MATCHED_HASHES not in existing:
-            names.append(MATCHED_HASHES)
-        overlap = [c for c in value_cols if c in existing]
-        hit_col = f"{_BS_PREFIX}hit"
-        renames = {c: f"{_BS_PREFIX}{c}" for c in overlap}
 
-        def mark(batch: pa.Table, renames=renames) -> pa.Table:
-            if renames:
+    parts = list(join.bootstrap_parts or [])
+    scanned = [scan_bootstrap_part(p, join) for p in parts]
+    runs: list[list[int]] = []  # consecutive same-key runs, order preserved
+    for i, (_, keys, _) in enumerate(scanned):
+        if runs and scanned[runs[-1][-1]][1] == keys:
+            runs[-1].append(i)
+        else:
+            runs.append([i])
+
+    for run in runs:
+        keys = scanned[run[0]][1]
+        rights = []
+        folds = []  # (hash, {orig: prefixed}, hit_col, value_cols)
+        for j, i in enumerate(run):
+            bs_ds, _, value_cols = scanned[i]
+            h = parts[i].hash_value()
+            hash_to_cols[h] = set(value_cols)
+            hit_col = f"{_BS_PREFIX}hit{j}"
+            renames = {c: f"{_BS_PREFIX}{j}_{c}" for c in value_cols}
+
+            def mark(batch: pa.Table, renames=renames, hit_col=hit_col) -> pa.Table:
                 batch = batch.rename_columns(
                     [renames.get(c, c) for c in batch.column_names]
                 )
-            return batch.append_column(
-                hit_col, pa.array(np.ones(len(batch), dtype=np.int8))
-            )
-
-        bs_ds = bs_ds.map_batches(mark, batch_format="pyarrow")
-        out = bucketed_left_join(out, bs_ds, on=keys, num_buckets=num_buckets, how="left")
-
-        def fold(batch: pa.Table, renames=renames, h=h) -> pa.Table:
-            hit = pc.fill_null(batch[hit_col], 0).to_numpy(zero_copy_only=False) == 1
-            cur = (
-                batch[MATCHED_HASHES].to_pylist()
-                if MATCHED_HASHES in batch.column_names
-                else None
-            )
-            merged = _merge_hashes(cur, hit, h)
-            for orig, tmp in renames.items():
-                # coalesce(existing, incoming): earlier bootstrap wins
-                batch = batch.set_column(
-                    batch.column_names.index(orig),
-                    orig,
-                    pc.coalesce(batch[orig], batch[tmp]),
-                ).drop_columns([tmp])
-            batch = batch.drop_columns([hit_col])
-            if MATCHED_HASHES in batch.column_names:
-                return batch.set_column(
-                    batch.column_names.index(MATCHED_HASHES), MATCHED_HASHES, merged
+                return batch.append_column(
+                    hit_col, pa.array(np.ones(len(batch), dtype=np.int8))
                 )
-            return batch.append_column(MATCHED_HASHES, merged)
 
-        out = out.map_batches(fold, batch_format="pyarrow")
+            rights.append(bs_ds.map_batches(mark, batch_format="pyarrow"))
+            folds.append((h, renames, hit_col, value_cols))
+            for c in value_cols:
+                if c not in names:
+                    names.append(c)
+        if MATCHED_HASHES not in names:
+            names.append(MATCHED_HASHES)
+
+        out = bucketed_multi_left_join(out, rights, on=keys, num_buckets=num_buckets)
+
+        def fold_all(batch: pa.Table, folds=folds) -> pa.Table:
+            for h, renames, hit_col, value_cols in folds:
+                hit = pc.fill_null(batch[hit_col], 0).to_numpy(zero_copy_only=False) == 1
+                cur = (
+                    batch[MATCHED_HASHES].to_pylist()
+                    if MATCHED_HASHES in batch.column_names
+                    else None
+                )
+                merged = _merge_hashes(cur, hit, h)
+                for orig in value_cols:
+                    tmp = renames[orig]
+                    if orig in batch.column_names:
+                        # coalesce(existing, incoming): earlier bootstrap wins
+                        batch = batch.set_column(
+                            batch.column_names.index(orig),
+                            orig,
+                            pc.coalesce(batch[orig], batch[tmp]),
+                        ).drop_columns([tmp])
+                    else:
+                        batch = batch.rename_columns(
+                            [orig if c == tmp else c for c in batch.column_names]
+                        )
+                batch = batch.drop_columns([hit_col])
+                if MATCHED_HASHES in batch.column_names:
+                    batch = batch.set_column(
+                        batch.column_names.index(MATCHED_HASHES), MATCHED_HASHES, merged
+                    )
+                else:
+                    batch = batch.append_column(MATCHED_HASHES, merged)
+            return batch
+
+        out = out.map_batches(fold_all, batch_format="pyarrow")
     return out, hash_to_cols
 
 
