@@ -608,9 +608,15 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_revenue(sf_dir: str):
+    """customer (small dimension, filtered) broadcast into the orders scan —
+    no shuffle for the dimension join; one shuffle for the lineitem
+    pre-aggregate; one co-partitioned hash join orders x revenue; per-batch
+    top-k prune before the tiny global sort."""
     import ray.data
 
-    from ..functions.relational import sql_group_agg
+    from ..functions.relational import (
+        broadcast_lookup_join, bucketed_left_join, sql_group_agg,
+    )
 
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
@@ -618,17 +624,41 @@ def q3_top_revenue(sf_dir: str):
                                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    cust = cust.filter(expr="c_mktsegment == 'BUILDING'")
-    joined = orders.join(cust, join_type="inner", num_partitions=N_BUCKETS,
-                         on=("o_custkey",), right_on=("c_custkey",))
+    cust_df = (
+        cust.filter(expr="c_mktsegment == 'BUILDING'").to_pandas()
+        [["c_custkey"]].rename(columns={"c_custkey": "o_custkey"})
+    )  # dimension table: small at every scale factor
+    joined = broadcast_lookup_join(orders, cust_df, on=["o_custkey"], how="inner")
     rev = sql_group_agg(
         li, keys=["l_orderkey"],
         partials={"revenue": "sum(l_extendedprice * (1 - l_discount))"},
         merge={"revenue": "sum"},
     )
-    out = joined.join(rev, join_type="inner", num_partitions=N_BUCKETS,
-                      on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["o_orderkey" if c == "l_orderkey" else c for c in batch.column_names]
+        )
+
+    rev = rev.map_batches(rename, batch_format="pyarrow")
+    out = bucketed_left_join(joined, rev, on=["o_orderkey"],
+                             num_buckets=N_BUCKETS, how="inner")
     out = out.select_columns(["o_orderkey", "o_orderdate", "revenue"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        # local top-k before the global sort; the key list includes the
+        # o_orderkey tie-break so batch-local pruning respects the global
+        # tie order (an equal-revenue pair straddling the cutoff would
+        # otherwise keep the wrong row)
+        import pyarrow.compute as pac
+
+        k = min(10, len(batch))
+        idx = pac.select_k_unstable(
+            batch, k, [("revenue", "descending"), ("o_orderkey", "ascending")]
+        )
+        return batch.take(idx)
+
+    out = out.map_batches(prune, batch_format="pyarrow")
     return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
 
 
