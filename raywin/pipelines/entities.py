@@ -511,6 +511,10 @@ class EntityKernel:
 
         for p in parts:
             tot_sum, tot_cnt = results[p.output_column]
+            # <= (not ==): CDC deletes of rows never covered by the base
+            # snapshot (inconsistent input, e.g. day-0 queries with no
+            # previous-day snapshot) can drive the signed count negative;
+            # such windows finalize as null, same as genuinely empty ones
             empty = tot_cnt <= 0
             with np.errstate(invalid="ignore", divide="ignore"):
                 if p.operation is Operation.COUNT:
