@@ -10,6 +10,7 @@ step_end) (getIntersectedRange, GroupBy.scala:567-608).
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -106,7 +107,13 @@ def backfill_temporal(
         feats.write_parquet(ddir)
         import pyarrow.dataset as pads
 
-        rows = pads.dataset(ddir, format="parquet").count_rows()
+        if os.path.isdir(ddir):
+            rows = pads.dataset(ddir, format="parquet").count_rows()
+        else:
+            # an empty partition writes no files at all — still record a
+            # zero-row manifest so resume treats the range as complete
+            os.makedirs(ddir, exist_ok=True)
+            rows = 0
         m = mf.write_manifest(
             output_dir,
             label,

@@ -63,16 +63,20 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="raywin.run", description=__doc__)
     p.add_argument("--mode", required=True, choices=[
         "join-backfill", "groupby-backfill", "analyze", "validate",
-        "staging-query", "compile",
+        "staging-query", "compile", "flow-backfill", "load-local",
     ])
     p.add_argument("--conf", required=True,
                    help="module:attr or compiled .json of the config object; "
-                        "for --mode compile, the conf DIRECTORY to walk")
+                        "for --mode compile, the conf DIRECTORY to walk; for "
+                        "--mode load-local, the csv/json file or directory")
     p.add_argument("--output", help="output table path (parquet dir or *.lance)")
     p.add_argument("--start", help="start ds (YYYY-MM-DD), groupby-backfill/staging")
     p.add_argument("--end", help="end ds (YYYY-MM-DD), groupby-backfill/staging")
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--step-days", type=int, default=1)
+    p.add_argument("--max-parallel", type=int, default=1,
+                   help="flow-backfill: concurrent independent flow steps")
+    p.add_argument("--state-dir", help="flow-backfill: step resume-marker dir")
     args = p.parse_args(argv)
 
     if args.mode == "compile":  # pure driver-side, no Ray session needed
@@ -88,6 +92,19 @@ def main(argv=None):
 
     if not ray.is_initialized():  # the job driver owns the session
         ray.init(address=os.environ.get("RAY_ADDRESS", "auto"))
+
+    if args.mode == "load-local":  # --conf is a data file/dir, not a config
+        if not args.output:
+            raise SystemExit("--output required for load-local")
+        from .sources.local import load_directory, load_local_table
+
+        if os.path.isdir(args.conf):
+            tables = load_directory(args.conf, args.output)
+        else:
+            path = load_local_table(args.conf, args.output)
+            tables = {os.path.basename(path): path}
+        print(json.dumps({"mode": args.mode, "tables": tables}))
+        return 0
 
     conf = load_conf(args.conf)
     from .api import GroupBy, Join
@@ -138,6 +155,30 @@ def main(argv=None):
         print(json.dumps({"mode": args.mode, "output": args.output,
                           "partitions_computed": len(done)}))
         return 0
+
+    if args.mode == "flow-backfill":
+        if not (args.output and args.start and args.end):
+            raise SystemExit("--output/--start/--end required")
+        from .api import semantic_hash
+        from .pipelines.group_by import events_dataset
+        from .scheduler import LocalOrchestrator, flow_from_backfill
+
+        def left_fn():
+            return events_dataset(conf).select_columns(conf.key_columns + ["ts"])
+
+        flow = flow_from_backfill(
+            conf, left_fn, args.output, args.start, args.end,
+            step_days=args.step_days, num_buckets=args.num_buckets,
+        )
+        orch = LocalOrchestrator(state_dir=args.state_dir,
+                                 max_parallel=args.max_parallel)
+        res = orch.run(flow, lineage=semantic_hash(conf))
+        report = {name: {"status": r.status, "sec": round(r.seconds, 3)}
+                  for name, r in res.items()}
+        print(json.dumps({"mode": args.mode, "flow": flow.name, "steps": report}))
+        return 0 if all(
+            r.status in ("ok", "resumed") for r in res.values()
+        ) else 1
 
     if args.mode == "staging-query":
         if not (args.output and args.start and args.end):

@@ -98,3 +98,26 @@ def test_resumable_backfill(ray_session, ev_table, tmp_path):
     assert len(done4) == 3
     stale = [d for d in os.listdir(out_dir) if d.startswith("_stale_")]
     assert stale, "stale outputs must be archived on semantic change"
+
+
+def test_empty_partition_records_zero_row_manifest(ray_session, ev_table, tmp_path):
+    """A day range with no events must complete with a rows=0 manifest (so
+    resume skips it), not crash on the missing data directory."""
+    import ray.data
+
+    out_dir = str(tmp_path / "empty_out")
+    left_fn = lambda: ray.data.read_parquet(ev_table, columns=["k", "ts"])
+    # ev_table covers 2024-02-01..07; this range is far in the future
+    done = backfill_temporal(
+        _gb(ev_table), left_fn, out_dir, "2025-06-01", "2025-06-02",
+        step_days=2, num_buckets=4,
+    )
+    assert len(done) == 1
+    label, m = done[0]
+    assert m["rows"] == 0
+    # resume: nothing left to do
+    done2 = backfill_temporal(
+        _gb(ev_table), left_fn, out_dir, "2025-06-01", "2025-06-02",
+        step_days=2, num_buckets=4,
+    )
+    assert done2 == []
