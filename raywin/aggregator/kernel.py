@@ -83,8 +83,12 @@ def detect_decimal(vals: np.ndarray, valid: np.ndarray, max_scale: int = 4):
         if m >= _MAX_EXACT:
             return None
         r = round_half_away(scaled)
-        # tolerance: fp noise of products/parquet decode, far below 0.5
-        if np.max(np.abs(scaled - r), initial=0.0) <= 1e-6 + m * 1e-11:
+        # tolerance: fp noise of products/parquet decode, far below 0.5.
+        # The 1e-6 floor shrinks with the scaled magnitude: data whose
+        # values are ALL tiny (max |scaled| << 1) must not be swallowed
+        # as "decimal zero" — for real decimal data the accepting scale
+        # has max |scaled| >= ~1, so the floor stays 1e-6 there.
+        if np.max(np.abs(scaled - r), initial=0.0) <= min(1e-6, m * 1e-3) + m * 1e-11:
             return d, r.astype(np.int64)
     return None
 
@@ -458,6 +462,7 @@ class BucketedOp(ScalarOp):
     def __init__(self, inner: ScalarOp):
         self.inner = inner
         self.timed = inner.timed
+        self.order_sensitive = inner.order_sensitive
 
     def prepare(self, vb, ts=None):
         v, b = vb
@@ -489,6 +494,7 @@ class ExplodeOp(ScalarOp):
     def __init__(self, inner: ScalarOp):
         self.inner = inner
         self.timed = inner.timed
+        self.order_sensitive = inner.order_sensitive
 
     def _fold(self, ir, vec, ts):
         for v in vec:
@@ -525,6 +531,7 @@ class MapColumnOp(ScalarOp):
         self.inner_factory = inner_factory
         self._probe = inner_factory()
         self.timed = self._probe.timed
+        self.order_sensitive = self._probe.order_sensitive
 
     def prepare(self, m, ts=None):
         return self.update({}, m, ts)
@@ -560,6 +567,7 @@ class ElementWiseOp(ScalarOp):
     def __init__(self, inner: ScalarOp):
         self.inner = inner
         self.timed = inner.timed
+        self.order_sensitive = inner.order_sensitive
 
     def prepare(self, vec, ts=None):
         return [self.inner.prepare(v, ts) for v in vec]
@@ -599,6 +607,68 @@ def _clone_ir(ir):
     import copy
 
     return copy.deepcopy(ir)
+
+
+class _TileTwoStack:
+    """Two-stack sliding window over HOP-TILE IRs (banker's queue, the
+    TwoStackLite trick applied at tile granularity): tile indices are pushed
+    and evicted monotonically, each tile is cloned+merged an amortized O(1)
+    number of times, and a window query costs at most two clones — replacing
+    the old per-query loop that cloned and merged EVERY tile in the window.
+
+    Mutation discipline: ScalarOp.merge may mutate its FIRST argument and may
+    return an alias of either argument, so every stored IR is cloned before
+    it becomes a merge's first argument, and query results are cloned before
+    the caller may merge partial-tile IRs into them."""
+
+    __slots__ = ("op", "front_idx", "front_ir", "back_idx", "back_irs", "back_ir")
+
+    def __init__(self, op):
+        from collections import deque
+
+        self.op = op
+        self.front_idx = deque()  # ascending tile index, oldest first
+        self.front_ir = deque()   # suffix IRs: front_ir[i] folds tiles i..end
+        self.back_idx: list[int] = []
+        self.back_irs: list = []
+        self.back_ir = None
+
+    def push(self, t: int, ir):
+        self.back_idx.append(t)
+        self.back_irs.append(ir)
+        leaf = _clone_ir(ir)
+        self.back_ir = leaf if self.back_ir is None else self.op.merge(self.back_ir, leaf)
+
+    def _flip(self):
+        self.front_idx.extend(self.back_idx)
+        irs: list = [None] * len(self.back_idx)
+        acc = None
+        for i in range(len(self.back_idx) - 1, -1, -1):
+            leaf = _clone_ir(self.back_irs[i])
+            acc = leaf if acc is None else self.op.merge(leaf, acc)
+            irs[i] = acc
+        self.front_ir.extend(irs)
+        self.back_idx, self.back_irs, self.back_ir = [], [], None
+
+    def evict_before(self, t0: int):
+        while True:
+            while self.front_idx and self.front_idx[0] < t0:
+                self.front_idx.popleft()
+                self.front_ir.popleft()
+            if self.front_idx or not self.back_idx or self.back_idx[0] >= t0:
+                return
+            self._flip()
+
+    def query_cloned(self):
+        """Merged IR of every tile in the buffer, safe for the caller to
+        mutate; None when empty."""
+        front = self.front_ir[0] if self.front_ir else None
+        if front is None:
+            return None if self.back_ir is None else _clone_ir(self.back_ir)
+        leaf = _clone_ir(front)
+        if self.back_ir is None:
+            return leaf
+        return self.op.merge(leaf, _clone_ir(self.back_ir))
 
 
 # ---------------------------------------------------------------------------
@@ -1162,28 +1232,77 @@ class PartitionAggregator:
                     tiles[t] = _prepare_many(op, vs, ts)
             return tiles[t]
 
+        def raw_ir(aa: int, bb: int):
+            m = valid[aa:bb]
+            if not m.any():
+                return None
+            vs = [vals_all[j] for j in range(aa, bb) if valid[j]]
+            return _prepare_many(op, vs, ev_ts_s[aa:bb][m])
+
+        if getattr(op, "order_sensitive", False):
+            # lossy sketches give different (equally valid) results under a
+            # different merge fold; keep them on the fixed ascending-tile
+            # fold so outputs are reproducible run to run
+            for i in range(nq):
+                li, ri = int(l[i]), int(r[i])
+                if li >= ri:
+                    out[i] = None
+                    continue
+                t0, t1 = tile_idx[li], tile_idx[ri - 1]
+                ir = None
+                for t in range(t0, t1 + 1):
+                    a, b = tile_bounds[t], tile_bounds[t + 1]
+                    if li <= a and b <= ri:
+                        sub = tile_ir(t)
+                    else:
+                        sub = raw_ir(max(a, li), min(b, ri))
+                    if sub is None:
+                        continue
+                    ir = _clone_ir(sub) if ir is None else op.merge(ir, _clone_ir(sub))
+                out[i] = None if ir is None else op.finalize(ir)
+            return out
+
+        # queries arrive sorted by (entity, ts) and bounds come from one
+        # composite searchsorted, so [t0, t1] advances monotonically — a
+        # two-stack over full tiles gives amortized O(1) clone+merge per
+        # tile; only the (<= 2) partial head/tail tiles aggregate raw.
+        # Merge order vs the old ascending-tile loop differs only for
+        # equal-ts ties, which always share a hop tile, so results match.
+        stack = _TileTwoStack(op)
+        pushed = -1
         for i in range(nq):
             li, ri = int(l[i]), int(r[i])
             if li >= ri:
                 out[i] = None
                 continue
-            t0, t1 = tile_idx[li], tile_idx[ri - 1]
-            ir = None
-            # full tiles strictly inside; partial head/tail handled raw
-            for t in range(t0, t1 + 1):
-                a, b = tile_bounds[t], tile_bounds[t + 1]
-                if li <= a and b <= ri:
+            t0, t1 = int(tile_idx[li]), int(tile_idx[ri - 1])
+            head_partial = tile_bounds[t0] < li
+            tail_partial = tile_bounds[t1 + 1] > ri
+            ft0 = t0 + 1 if head_partial else t0
+            ft1 = t1 - 1 if tail_partial else t1
+            stack.evict_before(ft0)
+            if ft1 >= ft0:
+                for t in range(max(pushed + 1, ft0), ft1 + 1):
                     sub = tile_ir(t)
-                else:  # partial tile: aggregate raw slice
-                    aa, bb = max(a, li), min(b, ri)
-                    m = valid[aa:bb]
-                    if not m.any():
-                        continue
-                    vs = [vals_all[j] for j in range(aa, bb) if valid[j]]
-                    sub = _prepare_many(op, vs, ev_ts_s[aa:bb][m])
-                if sub is None:
-                    continue
-                ir = _clone_ir(sub) if ir is None else op.merge(ir, _clone_ir(sub))
+                    if sub is not None:
+                        stack.push(t, sub)
+                pushed = max(pushed, ft1)
+                ir = stack.query_cloned()
+            else:
+                ir = None
+            if t0 == t1 and (head_partial or tail_partial):
+                sub = raw_ir(li, ri)  # single partially-covered tile
+                if sub is not None:
+                    ir = sub if ir is None else op.merge(ir, sub)
+            else:
+                if head_partial:
+                    sub = raw_ir(li, int(tile_bounds[t0 + 1]))
+                    if sub is not None:
+                        ir = sub if ir is None else op.merge(ir, sub)
+                if tail_partial:
+                    sub = raw_ir(int(tile_bounds[t1]), ri)
+                    if sub is not None:
+                        ir = sub if ir is None else op.merge(ir, sub)
             out[i] = None if ir is None else op.finalize(ir)
         return out
 

@@ -37,6 +37,11 @@ class ScalarOp:
 
     deletable = False
     timed = False  # update receives (ir, value, ts)
+    # True when merge results depend on merge ORDER/grouping (lossy sketches:
+    # a different fold shape yields a different — equally valid — sketch).
+    # Engines that reorder merges for speed must keep these on a fixed
+    # ascending fold so results are reproducible run to run.
+    order_sensitive = False
 
     def prepare(self, v, ts=None):
         raise NotImplementedError
@@ -433,6 +438,8 @@ class ApproxHistogramK(ScalarOp):
     estimate map {item: est} of all retained counters.
     """
 
+    order_sensitive = True  # space-saving evictions depend on merge order
+
     def __init__(self, map_size: int = 8):
         self.map_size = max(1, int(map_size))
         cap = 1
@@ -532,6 +539,8 @@ class ApproxUniqueCount(ScalarOp):
 class ApproxPercentile(ScalarOp):
     """Mergeable quantile sketch (stands in for KLL,
     SimpleAggregators.scala:762-802); percentiles arg defaults to [0.5]."""
+
+    order_sensitive = True  # compactor promotions depend on merge order
 
     def __init__(self, k: int = 128, percentiles=(0.5,)):
         from .sketches import QuantileSketch
