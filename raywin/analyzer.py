@@ -303,3 +303,99 @@ def analyze_join(join: Join) -> dict:
         for jp in join.join_parts
     }
     return report
+
+
+def explain_plan(conf) -> dict:
+    """Static execution-plan summary for a GroupBy or Join: the ordered
+    stages with every all-to-all exchange (shuffle) and broadcast made
+    explicit, so a reviewer can audit the scale story without running the
+    pipeline.  Mirrors the stage structure the pipeline builders actually
+    emit (group_by.features_for_queries, entities.*, join.backfill_join);
+    counts are exact for the default chained assembly."""
+    from .api import EntitySource, GroupBy, Join
+
+    def gb_plan(gb: GroupBy) -> tuple[list[str], int]:
+        stages: list[str] = []
+        src0 = gb.sources[0]
+        if isinstance(src0, EntitySource) and src0.mutation_table:
+            stages += [
+                "scan snapshot + mutation tables (projection pushdown)",
+                "union queries/snapshots/mutations (tagged, schema-padded)",
+                "SHUFFLE: hash(keys) co-partition",
+                "EntityKernel (vectorized snapshot base + signed CDC deltas)",
+            ]
+            return stages, 1
+        if isinstance(src0, EntitySource):
+            stages += [
+                "scan snapshot table",
+                "SHUFFLE: groupby(hash(keys, ds))",
+                "per-group snapshot aggregate",
+            ]
+            return stages, 1
+        for s in gb.sources:
+            stages.append("scan events (projection pushdown, window-aware range)")
+        if len(gb.sources) > 1:
+            stages.append("union sources")
+        if not gb.aggregations:
+            stages += ["SHUFFLE: hash(keys) dedupe", "keyed passthrough"]
+            return stages, 1
+        stages += [
+            "union queries + events (tagged)",
+            "SHUFFLE: hash(keys) x time-bucket co-partition "
+            "(hot keys: time-chunk replication when enabled)",
+            "PartitionKernel (prefix/segtree/position/two-stack-tile engines)",
+        ]
+        return stages, 1
+
+    if isinstance(conf, GroupBy):
+        stages, shuffles = gb_plan(conf)
+        return {"stages": stages, "shuffles": shuffles, "broadcasts": []}
+
+    assert isinstance(conf, Join)
+    stages, shuffles, broadcasts = ["scan left (projection pushdown)"], 0, []
+    if conf.skew_keys:
+        stages.append("filter skew keys (map)")
+    if conf.bootstrap_parts:
+        runs, prev_keys = 0, None
+        for bp in conf.bootstrap_parts:
+            keys = tuple(bp.key_columns or conf.row_ids or [])
+            if keys != prev_keys:
+                runs += 1
+                prev_keys = keys
+        stages.append(
+            f"bootstrap: {len(conf.bootstrap_parts)} part(s) fused into {runs} "
+            "same-key run(s); SHUFFLE per run (multi-right co-partition join + fold)"
+        )
+        shuffles += runs
+        stages.append("covering-combo scan (distinct MATCHED_HASHES, tiny)")
+    for jp in conf.join_parts:
+        _, s = gb_plan(jp.group_by)
+        broadcasts.append(
+            f"{jp.group_by.name}: small-mode semi-filter of the right scan "
+            "(left keys broadcast via ray.put when left is small)"
+        )
+        stages.append(
+            f"part {jp.group_by.name}: chained PITC kernel pass (SHUFFLE: "
+            "hash(keys) x time-bucket; output carries accumulated columns)"
+        )
+        shuffles += s
+    for ep in conf.online_external_parts or []:
+        src = ep.source
+        if getattr(src, "keys", None) is not None and type(src).__name__ == "ContextualSource":
+            stages.append(f"external {ep.full_name}: contextual passthrough (map)")
+        elif getattr(src, "offline_group_by", None) is not None:
+            stages.append(
+                f"external {ep.full_name}: offline synthetic part "
+                "(SHUFFLE: PITC kernel pass)"
+            )
+            shuffles += 1
+        else:
+            stages.append(
+                f"external {ep.full_name}: pure-handler actor-pool replay "
+                "or null-pad (map)"
+            )
+    if conf.derivations:
+        stages.append("derivations (vectorized map)")
+    if conf.model_transforms:
+        stages.append("model transforms (stateful actor pool, batched inference)")
+    return {"stages": stages, "shuffles": shuffles, "broadcasts": broadcasts}

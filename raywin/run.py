@@ -124,6 +124,8 @@ def main(argv=None):
                 if args.mode == "validate"
                 else analyzer.analyze_group_by(conf)
             )
+        if args.mode == "analyze" and not report.get("errors"):
+            report["plan"] = analyzer.explain_plan(conf)
         print(json.dumps(report, indent=2, default=str))
         return 1 if report.get("errors") else 0
 

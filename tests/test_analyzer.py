@@ -141,3 +141,47 @@ def test_analyze_group_by(ray_session):
     assert rep["output_schema"] == {"value_sum_7d": "double"}
     assert "value" in rep["input_schema"]
     assert "hot_keys" in rep or "hot_keys_error" in rep
+
+
+def test_explain_plan_shuffle_accounting():
+    from raywin.analyzer import explain_plan
+    from raywin.api import (
+        Accuracy, Aggregation, BootstrapPart, EntitySource, EventSource,
+        GroupBy, Join, JoinPart, Operation, Query, TimeUnit, Window,
+    )
+
+    gb = GroupBy(
+        sources=[EventSource(table="/tmp/x.parquet", query=Query())],
+        key_columns=["k"],
+        aggregations=[Aggregation(Operation.SUM, "v", windows=[Window(7, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
+        name="g",
+    )
+    plan = explain_plan(gb)
+    assert plan["shuffles"] == 1
+    assert any("SHUFFLE" in s for s in plan["stages"])
+
+    ent = GroupBy(
+        sources=[EntitySource(snapshot_table="/tmp/s", mutation_table="/tmp/m", query=Query())],
+        key_columns=["k"],
+        aggregations=[Aggregation(Operation.SUM, "v")],
+        accuracy=Accuracy.TEMPORAL,
+        name="e",
+    )
+    assert explain_plan(ent)["shuffles"] == 1
+
+    join = Join(
+        left=EventSource(table="/tmp/x.parquet", query=Query()),
+        join_parts=[JoinPart(group_by=gb)],
+        row_ids=["id"],
+        bootstrap_parts=[
+            BootstrapPart(table="/tmp/b1.parquet", semantic_hash="h1"),
+            BootstrapPart(table="/tmp/b2.parquet", semantic_hash="h2"),
+        ],
+        name="j",
+    )
+    plan = explain_plan(join)
+    # 2 same-key bootstrap tables fuse into ONE shuffle + 1 part kernel pass
+    assert plan["shuffles"] == 2
+    assert any("fused into 1 same-key run" in s for s in plan["stages"])
+    assert plan["broadcasts"]
