@@ -87,3 +87,35 @@ def test_export_table_single_file(ray_session, csv_file, tmp_path):
         assert os.path.isfile(out)
     back = pq.read_table(str(tmp_path / "out.parquet"))
     assert back.num_rows == 3
+
+
+def test_write_table_conventions(ray_session, tmp_path):
+    """write_table: partition dirs, within-block sort, file-count sizing."""
+    import glob
+
+    import numpy as np
+    import ray.data
+
+    from raywin.sources.io import write_table
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table(
+        {
+            "ds": pa.array(np.where(rng.random(4000) < 0.5, "2024-01-01", "2024-01-02")),
+            "k": pa.array(rng.integers(0, 100, 4000)),
+            "v": pa.array(rng.normal(0, 1, 4000)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = str(tmp_path / "t1")
+    write_table(ds, out, partition_cols=["ds"], sort_cols=["k"],
+                target_rows_per_file=1000)
+    parts = sorted(os.path.basename(p) for p in glob.glob(out + "/ds=*"))
+    assert parts == ["ds=2024-01-01", "ds=2024-01-02"]
+    files = glob.glob(out + "/ds=*/*.parquet")
+    assert 1 <= len(files) <= 8  # ~4 target files, split across 2 partitions
+    for f in files:
+        ks = pq.read_table(f, columns=["k"])["k"].to_numpy()
+        assert (np.diff(ks) >= 0).all(), f"{f} not sorted within file"
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == 4000
