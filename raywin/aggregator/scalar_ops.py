@@ -233,16 +233,24 @@ class First(ScalarOp):
 
 
 class Last(ScalarOp):
+    """Equal-ts ties: the LATER-processed row wins (>=).  Rows reach every
+    engine in (ts, tie_breaker)-ascending order, so this makes ts ties
+    deterministic ("tie breaker refines ts") and matches the position
+    engine's vals[r-1].  The reference's strict > keeps the first-processed
+    row instead — nondeterministic under Spark's undefined row order, so
+    the deterministic refinement is the intended divergence.  (First needs
+    no change: strict < already keeps the earliest-processed row.)"""
+
     timed = True
 
     def prepare(self, v, ts=None):
         return (ts, v)
 
     def update(self, ir, v, ts=None):
-        return (ts, v) if ts > ir[0] else ir
+        return (ts, v) if ts >= ir[0] else ir
 
     def merge(self, ir1, ir2):
-        return ir2 if ir2[0] > ir1[0] else ir1
+        return ir2 if ir2[0] >= ir1[0] else ir1
 
     def finalize(self, ir):
         return ir[1]
