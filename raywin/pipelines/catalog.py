@@ -31,6 +31,9 @@ from ..api import (
 # straddle the whole run; on a multi-node cluster set RAYWIN_NUM_BUCKETS to
 # ~2x total cores (buckets are the unit of kernel parallelism)
 N_BUCKETS = int(os.environ.get("RAYWIN_NUM_BUCKETS", "16"))
+# max rows of a filtered dimension pulled to the driver for a broadcast join;
+# above this the plan falls back to a distributed bucketed hash join
+BROADCAST_DIM_CUTOFF = int(os.environ.get("RAYWIN_BROADCAST_CUTOFF", "2000000"))
 HOUR = 3600 * 1000
 DAY = 24 * HOUR
 
@@ -624,11 +627,18 @@ def q3_top_revenue(sf_dir: str):
                                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    cust_df = (
-        cust.filter(expr="c_mktsegment == 'BUILDING'").to_pandas()
-        [["c_custkey"]].rename(columns={"c_custkey": "o_custkey"})
-    )  # dimension table: small at every scale factor
-    joined = broadcast_lookup_join(orders, cust_df, on=["o_custkey"], how="inner")
+    filtered = cust.filter(expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    # gate the driver materialization on a distributed count (mirrors the
+    # join small-mode gate, join.py:66-68): broadcast only when the filtered
+    # dimension is provably small, else keep it distributed via one
+    # co-partitioning hash join
+    if filtered.count() <= BROADCAST_DIM_CUTOFF:
+        cust_df = filtered.to_pandas().rename(columns={"c_custkey": "o_custkey"})
+        joined = broadcast_lookup_join(orders, cust_df, on=["o_custkey"], how="inner")
+    else:
+        dim = filtered.rename_columns({"c_custkey": "o_custkey"})
+        joined = bucketed_left_join(orders, dim, on=["o_custkey"],
+                                    num_buckets=N_BUCKETS, how="inner")
     rev = sql_group_agg(
         li, keys=["l_orderkey"],
         partials={"revenue": "sum(l_extendedprice * (1 - l_discount))"},
@@ -764,8 +774,10 @@ def elementwise_avg_by_label(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.ann import vecs_to_numpy
+
         labels = batch["label"].to_numpy(zero_copy_only=False)
-        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs = vecs_to_numpy(batch["embedding"])  # zero-copy list -> matrix
         out_l, out_i, out_s, out_c = [], [], [], []
         for lab in np.unique(labels):
             m = labels == lab
