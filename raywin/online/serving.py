@@ -156,6 +156,126 @@ class Fetcher:
         return self.agg.lambda_aggregate(batch_ir, ts, rows, query_ts)
 
 
+class ServingKernel:
+    """Per-bucket lambda merge over three co-partitioned sides: queries
+    (side 0), batch-IR upload rows (side 1), streaming-tail events (side 2).
+
+    The scale path for offline application of the serving lambda: nothing is
+    materialized on the driver — upload blobs and tail events ride the same
+    hash(key) co-partition shuffle as the queries, so each bucket task sees
+    exactly its keys' state (the distributed analogue of a KV-store range
+    scan; reference Fetcher reads per-key from the store instead)."""
+
+    def __init__(self, group_by: GroupBy, batch_end_ts: int, left_names,
+                 resolution=FiveMinuteResolution):
+        self.__name__ = "ServingKernel"
+        self.agg = SawtoothOnlineAggregator(group_by, batch_end_ts, resolution)
+        self.key_cols = group_by.key_columns
+        self.left_names = list(left_names)
+        self.in_cols = {p.input_column for p in self.agg.parts}
+
+    def __call__(self, group):
+        import pyarrow as pa
+
+        from ..stages.shuffle import SIDE_COL
+
+        if isinstance(group, pa.Table):
+            side = group[SIDE_COL].to_numpy(zero_copy_only=False)
+            queries = group.filter(pa.array(side == 0)).select(self.left_names).to_pandas()
+            upload = group.filter(pa.array(side == 1)).to_pandas()
+            stream = group.filter(pa.array(side == 2)).to_pandas()
+        else:
+            side = group[SIDE_COL].to_numpy()
+            queries = group.loc[side == 0, self.left_names].reset_index(drop=True)
+            upload = group.loc[side == 1].reset_index(drop=True)
+            stream = group.loc[side == 2].reset_index(drop=True)
+        out_cols = [p.output_column for p in self.agg.parts]
+        if len(queries) == 0:
+            cols = {c: [] for c in self.left_names}
+            cols.update({c: [] for c in out_cols})
+            return pd.DataFrame(cols)
+        blobs: dict = {}
+        if len(upload):
+            keys = zip(*(upload[k] for k in self.key_cols))
+            blobs = dict(zip(keys, upload[IR_COL]))
+        tails: dict = {}
+        if len(stream):
+            stream = stream.sort_values("ts", kind="stable")
+            for key, sub in stream.groupby(self.key_cols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                tails[key] = (
+                    sub["ts"].to_numpy(dtype=np.int64),
+                    {c: sub[c].to_numpy() for c in self.in_cols if c in sub.columns},
+                )
+        out = queries.copy()
+        feat_cols: dict[str, list] = {c: [None] * len(queries) for c in out_cols}
+        ir_cache: dict = {}
+        for key, sub in queries.groupby(self.key_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            ir = ir_cache.get(key)
+            if ir is None:
+                blob = blobs.get(key)
+                ir = None if blob is None else pickle.loads(blob)
+                ir_cache[key] = ir
+            ts_arr, rows = tails.get(key, (None, None))
+            for i, q_ts in zip(sub.index, sub["ts"].to_numpy()):
+                feats = self.agg.lambda_aggregate(ir, ts_arr, rows, int(q_ts))
+                for c in out_cols:
+                    feat_cols[c][i] = feats[c]
+        for c in out_cols:
+            out[c] = feat_cols[c]
+        return out
+
+
+def online_enrich_distributed(left_ds, group_by: GroupBy, batch_end_ts: int,
+                              upload_ds, stream_ds=None, num_buckets: int = 32,
+                              resolution=FiveMinuteResolution):
+    """Serving lambda applied offline with zero driver materialization.
+
+    left_ds: query rows (key columns + ts [+ passthrough]); upload_ds: the
+    GroupByUpload table (key columns + __batch_ir + batch_end_ts), kept as a
+    lazy Dataset; stream_ds: the streaming tail (key columns + ts + inputs),
+    pre-filtered to ts >= batch_end_ts (rows before the seam are the batch
+    half's property and are dropped here to preserve exactness).
+
+    One union co-partition shuffle (the EntityKernel three-side pattern) —
+    the scale-safe replacement for broadcasting the tail + upload dict via
+    ray.put (OnlineEnrich), which holds the whole state per node."""
+    import pyarrow as pa
+
+    from ..pipelines.group_by import _arrow_schema
+    from ..stages.shuffle import BUCKET_COL, SIDE_COL, AddBucket, pad_to_schema, unify_schemas
+
+    key_cols = group_by.key_columns
+    l_arrow = _arrow_schema(left_ds)
+    u_arrow = _arrow_schema(upload_ds)
+    unified = unify_schemas(l_arrow, u_arrow, {})
+    if stream_ds is not None:
+        stream_ds = stream_ds.filter(expr=f"ts >= {batch_end_ts}")
+        unified = unify_schemas(unified, _arrow_schema(stream_ds), {SIDE_COL: pa.int8()})
+    else:
+        unified = unify_schemas(unified, pa.schema([]), {SIDE_COL: pa.int8()})
+
+    def tag(side_val):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.append_column(
+                SIDE_COL, pa.array(np.full(len(batch), side_val, dtype=np.int8))
+            )
+            return pad_to_schema(batch, unified)
+
+        return fn
+
+    unioned = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        upload_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    if stream_ds is not None:
+        unioned = unioned.union(stream_ds.map_batches(tag(2), batch_format="pyarrow"))
+    bucketed = unioned.map_batches(AddBucket(key_cols, num_buckets), batch_format="pyarrow")
+    kernel = ServingKernel(group_by, batch_end_ts, list(l_arrow.names), resolution)
+    out = bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format="pyarrow")
+    return out.select_columns(list(l_arrow.names) + [p.output_column for p in kernel.agg.parts])
+
+
 class OnlineEnrich:
     """Actor-pool enrichment stage: ``map_batches(OnlineEnrich, fn_constructor_args=
     (upload_ref, events_ref, group_by, batch_end_ts), concurrency=N,
@@ -163,7 +283,11 @@ class OnlineEnrich:
 
     upload_ref: ray.ObjectRef of the {key: blob} dict (ray.put once — every
     actor reads the same plasma copy, zero re-shipping per batch).
-    events_ref: ObjectRef of a streaming-rows DataFrame or None."""
+    events_ref: ObjectRef of a streaming-rows DataFrame or None.
+
+    Broadcast trades state size for shuffle-free lookups: right when the
+    upload+tail fit one node comfortably.  For large state use
+    online_enrich_distributed (co-partition, no driver materialization)."""
 
     def __init__(self, upload_ref, events_ref, group_by: GroupBy, batch_end_ts: int):
         import ray

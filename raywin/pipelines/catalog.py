@@ -2026,11 +2026,10 @@ def online_serving(sf_dir: str):
     105-123), the result equals a plain as-of recompute over ALL events —
     which is exactly what the SQL oracle does, making the seam
     driver-verifiable."""
-    import ray
-
     import pyarrow.dataset as pads
 
-    from ..online import OnlineEnrich, group_by_upload, load_upload
+    from ..online import group_by_upload
+    from ..online.serving import online_enrich_distributed
 
     ev_path = f"{sf_dir}/events.parquet"
     tbl = pads.dataset(ev_path, format="parquet").to_table(columns=["ts"])
@@ -2050,26 +2049,21 @@ def online_serving(sf_dir: str):
         accuracy=Accuracy.TEMPORAL,
         name="online_core",
     )
-    upload_map = load_upload(group_by_upload(gb, batch_end, num_buckets=N_BUCKETS), ["user_id"])
-    # the streaming tail: events at/after the seam, at most tail_buffer long
-    stream = (
-        _events_ds(sf_dir, ["user_id", "ts", "value"])
-        .map_batches(
-            lambda df: df.assign(ts=df["ts"].astype("int64") // 1000),
-            batch_format="pandas",
-        )
-        .filter(expr=f"ts >= {batch_end}")
-        .to_pandas()
+    # the batch half stays a lazy Dataset (the daily upload artifact); the
+    # streaming tail stays lazy too — both ride the serving co-partition
+    # shuffle with the queries instead of a driver .to_pandas() + ray.put
+    # broadcast (which holds the whole tail+upload per node at scale)
+    upload = group_by_upload(gb, batch_end, num_buckets=N_BUCKETS)
+    stream = _events_ds(sf_dir, ["user_id", "ts", "value"]).map_batches(
+        lambda df: df.assign(ts=df["ts"].astype("int64") // 1000),
+        batch_format="pandas",
     )
     left = (
         _distinct_user_ts(sf_dir)
         .filter(expr=f"ts >= {batch_end} and ts < {batch_end + DAY}")
     )
-    return left.map_batches(
-        OnlineEnrich,
-        fn_constructor_args=(ray.put(upload_map), ray.put(stream), gb, batch_end),
-        concurrency=4,
-        batch_format="pandas",
+    return online_enrich_distributed(
+        left, gb, batch_end, upload, stream, num_buckets=N_BUCKETS
     )
 
 

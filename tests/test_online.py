@@ -223,3 +223,27 @@ def test_online_enrich_stage(ray_session, online_fixture):
     assert len(out) == len(qdf)
     got = out.to_dict("records")
     _check(got, _expected(df, gb, qdf), gb.agg_parts())
+
+
+def test_online_enrich_distributed(ray_session, online_fixture):
+    """online_enrich_distributed (three-side co-partition shuffle, zero
+    driver materialization) == full NaiveOracle recompute — same contract as
+    the broadcast OnlineEnrich path but the upload table and streaming tail
+    stay distributed."""
+    import ray.data
+
+    from raywin.online.serving import online_enrich_distributed
+
+    df, path, gb = online_fixture
+    upload = group_by_upload(gb, BATCH_END, num_buckets=8)
+    stream = ray.data.from_pandas(df[["k", "ts", "v", "cat"]])  # kernel seam-filters
+    qdf = _queries(df, n=40)
+    out = online_enrich_distributed(
+        ray.data.from_pandas(qdf), gb, BATCH_END, upload, stream, num_buckets=8
+    ).to_pandas()
+    assert len(out) == len(qdf)
+    out = out.set_index(["k", "ts"])
+    got = [out.loc[(k, t)].to_dict() for k, t in zip(qdf["k"], qdf["ts"])]
+    # pandas upcasts None -> nan in float columns; normalize for _check
+    got = [{c: (None if isinstance(v, float) and v != v else v) for c, v in r.items()} for r in got]
+    _check(got, _expected(df, gb, qdf), gb.agg_parts())
