@@ -24,10 +24,11 @@ reversal (api.thrift:156-167); the reference's fast mutation path has the
 same restriction.
 
 Scale shape: ONE co-partitioning shuffle of (queries ∪ snapshots ∪
-mutations) hash-bucketed by entity key; inside each bucket everything is
-sorted composite-searchsorted numpy except the windowed-mutation sweep,
-which is an O((Q+M) log M) Fenwick pass per input column (2-D constraint:
-mutation_ts < q AND ts in window).  Sums use EXACT scaled-int64 fixed-point
+mutations) hash-bucketed by entity key; inside each bucket everything —
+including the windowed-mutation sweep — is sorted composite-searchsorted
+numpy (the 2-D constraint {mutation_ts < q AND ts in window} decomposes
+into max(mutation_ts, ts) < q minus at-most-two fixed day-boundary lo
+passes).  Sums use EXACT scaled-int64 fixed-point
 arithmetic when values are decimal-like, so results are bitwise-reproducible
 and match a DuckDB recompute oracle.
 """
@@ -141,36 +142,6 @@ def snapshot_entity_features(group_by: GroupBy, num_buckets: int = 32):
     return bucketed.groupby(BUCKET_COL).map_groups(agg_fn, batch_format="pandas")
 
 
-class _Fenwick:
-    """Int Fenwick tree over ts ranks holding (sum, count) pairs."""
-
-    __slots__ = ("n", "s", "c")
-
-    def __init__(self, n: int):
-        self.n = n
-        self.s = [0] * (n + 1)
-        self.c = [0] * (n + 1)
-
-    def add(self, pos: int, dv: int, dc: int):
-        i = pos + 1
-        s, c, n = self.s, self.c, self.n
-        while i <= n:
-            s[i] += dv
-            c[i] += dc
-            i += i & (-i)
-
-    def prefix(self, pos: int):
-        """(sum, count) over ranks [0, pos)."""
-        i = pos
-        s, c = self.s, self.c
-        ts = tc = 0
-        while i > 0:
-            ts += s[i]
-            tc += c[i]
-            i -= i & (-i)
-        return ts, tc
-
-
 class EntityKernel:
     """Per-bucket temporal-entities merge: previous-day snapshot base +
     signed same-day mutation deltas at each query timestamp, with optional
@@ -257,7 +228,7 @@ class EntityKernel:
             )
             self._eval_column(
                 out, col_parts,
-                q_seg, q_ts, q_day, q_order,
+                q_seg, q_ts, q_day,
                 s_seg_s, s_ts_s, s_vals,
                 m_seg_s, m_mts_s, m_ts_s, m_sign_s, m_vals,
             )
@@ -367,7 +338,7 @@ class EntityKernel:
 
     def _eval_column(
         self, out, parts,
-        q_seg, q_ts, q_day, q_order,
+        q_seg, q_ts, q_day,
         s_seg, s_ts, s_vals,
         m_seg, m_mts, m_ts, m_sign, m_vals,
     ):
@@ -465,45 +436,66 @@ class EntityKernel:
             wsum = {p.output_column: np.zeros(nq, dtype=np.float64) for p in windowed}
             wcnt = {p.output_column: np.zeros(nq, dtype=np.int64) for p in windowed}
             if nm:
-                uniq_ts = np.unique(m_ts)
-                rank = np.searchsorted(uniq_ts, m_ts)
-                lo_ranks = {
-                    p.output_column: np.searchsorted(uniq_ts, win_snap[p.output_column][2])
-                    for p in windowed
-                }
-                hi_rank = np.searchsorted(uniq_ts, q_ts)
-                fen = _Fenwick(len(uniq_ts))
-                active: list[int] = []
-                ptr = 0
-                cur_seg = None
-                sv_m_int = sv_m.tolist()
-                m_valid_l = m_valid.tolist()
-                m_sign_l = m_sign.tolist()
-                rank_l = rank.tolist()
-                m_seg_l = m_seg.tolist()
-                m_mts_l = m_mts.tolist()
-                for qi in q_order:
-                    seg = q_seg[qi]
-                    if seg != cur_seg:
-                        for j in active:
-                            fen.add(rank_l[j], -sv_m_int[j] * m_sign_l[j] * m_valid_l[j],
-                                    -m_sign_l[j] * m_valid_l[j])
-                        active = []
-                        ptr = np.searchsorted(m_seg, seg, side="left")
-                        cur_seg = seg
-                    qt = q_ts[qi]
-                    while ptr < nm and m_seg_l[ptr] == seg and m_mts_l[ptr] < qt:
-                        fen.add(rank_l[ptr], sv_m_int[ptr] * m_sign_l[ptr] * m_valid_l[ptr],
-                                m_sign_l[ptr] * m_valid_l[ptr])
-                        active.append(ptr)
-                        ptr += 1
-                    hi = hi_rank[qi]
-                    s_hi, c_hi = fen.prefix(hi)
-                    for p in windowed:
-                        oc = p.output_column
-                        s_lo, c_lo = fen.prefix(lo_ranks[oc][qi])
-                        wsum[oc][qi] = s_hi - s_lo
-                        wcnt[oc][qi] = c_hi - c_lo
+                # the 2-D constraint {m_mts < qt AND m_ts in [lo, qt)}
+                # decomposes into two fully-vectorized 1-D prefix problems
+                # (replaces the per-query Python Fenwick sweep):
+                #   hi: {m_mts < qt AND m_ts < qt} == {max(m_mts, m_ts) < qt}
+                #       — one composite (seg, max) searchsorted, shared by
+                #       every part (window-independent)
+                #   lo: {m_mts < qt AND m_ts < lo}; lo = round(qt - w, DAY)
+                #       takes at most TWO distinct day values per (segment,
+                #       window) since qt sweeps one day, so two global masked
+                #       subsequences of the (seg, m_mts)-sorted mutations
+                #       cover all queries
+                wgt = sv_m * m_sign * m_valid  # exact scaled ints when fixed-point
+                cnt = (m_sign * m_valid).astype(np.int64)
+                m_day_m = (m_mts // MILLIS_DAY) * MILLIS_DAY
+
+                hmax = np.maximum(m_mts, m_ts)
+                h_order = np.lexsort((hmax, m_seg))
+                hmin = int(hmax.min())
+                hspan = int(hmax.max()) - hmin + 2
+                h_key = m_seg[h_order] * np.int64(hspan) + (hmax[h_order] - hmin)
+                ch_w = np.zeros(nm + 1, dtype=wgt.dtype)
+                ch_w[1:] = np.cumsum(wgt[h_order])
+                ch_c = np.zeros(nm + 1, dtype=np.int64)
+                ch_c[1:] = np.cumsum(cnt[h_order])
+                kq = q_seg * np.int64(hspan) + np.clip(q_ts - hmin, 0, hspan - 1)
+                pos = np.searchsorted(h_key, kq, side="left")
+                pos0 = np.searchsorted(h_key, q_seg * np.int64(hspan), side="left")
+                hi_w = (ch_w[pos] - ch_w[pos0]).astype(np.float64)
+                hi_c = ch_c[pos] - ch_c[pos0]
+
+                for p in windowed:
+                    w = p.window.millis
+                    oc = p.output_column
+                    lo_ts = win_snap[oc][2]
+                    base_lo_q = round_down(q_day - w, MILLIS_DAY)
+                    base_lo_m = round_down(m_day_m - w, MILLIS_DAY)
+                    lo_w = np.zeros(nq, dtype=np.float64)
+                    lo_c = np.zeros(nq, dtype=np.int64)
+                    for b in (0, 1):
+                        q_idx = np.flatnonzero(lo_ts == base_lo_q + b * MILLIS_DAY)
+                        if not len(q_idx):
+                            continue
+                        sub = np.flatnonzero(m_ts < base_lo_m + b * MILLIS_DAY)
+                        if not len(sub):
+                            continue
+                        # subsequence of a (seg, m_mts)-sorted array is sorted
+                        sub_key = m_seg[sub] * np.int64(mspan) + (m_mts[sub] - mtmin)
+                        cw = np.concatenate(([0], np.cumsum(wgt[sub])))
+                        cc = np.concatenate(([0], np.cumsum(cnt[sub])))
+                        kq2 = q_seg[q_idx] * np.int64(mspan) + np.clip(
+                            q_ts[q_idx] - mtmin, 0, mspan - 1
+                        )
+                        pos2 = np.searchsorted(sub_key, kq2, side="left")
+                        pos2_0 = np.searchsorted(
+                            sub_key, q_seg[q_idx] * np.int64(mspan), side="left"
+                        )
+                        lo_w[q_idx] = cw[pos2] - cw[pos2_0]
+                        lo_c[q_idx] = cc[pos2] - cc[pos2_0]
+                    wsum[oc] = hi_w - lo_w
+                    wcnt[oc] = hi_c - lo_c
             for p in windowed:
                 oc = p.output_column
                 ss, sc, _ = win_snap[oc]
