@@ -50,8 +50,14 @@ def _skew_filter(ds, skew_keys: dict[str, list[str]] | None):
 
 
 SMALL_MODE_CUTOFF = 100_000  # distinct left keys; reference uses 5000 rows for
-# literal IN-injection and 1M for bloom (TableUtils.scala:349-357) — here the
-# broadcast is an exact key set filtered vectorized per batch
+# literal IN-injection (TableUtils.scala:349-357) — here the broadcast is an
+# exact key set filtered vectorized per batch
+HASHED_MODE_CUTOFF = 1_000_000  # the reference's bloom band (Join.scala:
+# 306-341, 1M left rows): between the exact cutoff and here the right scan is
+# pruned by a sorted uint64 HASH set of the left keys — 8 bytes/key broadcast
+# regardless of key width, searchsorted membership per batch.  False
+# positives require a 64-bit hash collision (safe either way: the kernel's
+# co-partition join is exact; pruning only needs no false NEGATIVES).
 
 
 def _semi_filtered_right(gb: GroupBy, queries, n_left: int | None):
@@ -59,22 +65,26 @@ def _semi_filtered_right(gb: GroupBy, queries, n_left: int | None):
     semi-join-filter the right scan BEFORE the shuffle (reference
     key-injection / bloom pruning, Join.scala:306-341).  Gates on LEFT ROW
     COUNT first — materializing the distinct key list before deciding would
-    pull billions of keys onto the driver on a big left."""
+    pull billions of keys onto the driver on a big left.  Two tiers:
+    exact key set (<=SMALL_MODE_CUTOFF) and sorted-hash set
+    (<=HASHED_MODE_CUTOFF, the reference's bloom band)."""
     if len(gb.key_columns) != 1:
         return None
     kcol = gb.key_columns[0]
     if n_left is None:
         n_left = queries.count()
-    if n_left > SMALL_MODE_CUTOFF:
+    if n_left > HASHED_MODE_CUTOFF:
         return None
+    if n_left > SMALL_MODE_CUTOFF:
+        return _hash_filtered_right(gb, queries, kcol)
     key_vals = queries.select_columns([kcol]).unique(kcol)
     if not isinstance(key_vals, list):  # older API returns Dataset
         key_vals = [r[kcol] for r in key_vals.take_all()]
-    if not key_vals or len(key_vals) > SMALL_MODE_CUTOFF:
+    if not key_vals:
         return None
+    if len(key_vals) > SMALL_MODE_CUTOFF:
+        return _hash_filtered_right(gb, queries, kcol)
     import ray
-
-    from .group_by import events_dataset
 
     # native dtype when homogeneous: np.isin over an object array hashes every
     # element in Python and is ~20x slower than the int64/str fast path
@@ -94,8 +104,54 @@ def _semi_filtered_right(gb: GroupBy, queries, n_left: int | None):
             vals = batch[kcol].to_numpy(zero_copy_only=False)
             return batch.filter(pa.array(np.isin(vals, self.keys)))
 
+    return _with_scan_schema(gb, SemiFilter)
+
+
+def _hash_filtered_right(gb: GroupBy, queries, kcol: str):
+    """Mid-size tier: prune the right scan with a sorted set of the left
+    keys' 64-bit stable hashes.  Per-batch dedup happens distributed; only
+    uint64 hashes (8 bytes/key, key-width independent) reach the driver,
+    bounded by HASHED_MODE_CUTOFF."""
+    import ray
+
+    from ..stages.shuffle import stable_hash
+
+    def batch_hashes(batch: pa.Table) -> pa.Table:
+        h = stable_hash([batch[kcol].to_numpy(zero_copy_only=False)])
+        return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
+
+    parts = [
+        b["h"]
+        for b in queries.select_columns([kcol])
+        .map_batches(batch_hashes, batch_format="pyarrow")
+        .iter_batches(batch_format="numpy", batch_size=None)
+    ]
+    if not parts:
+        return None
+    hashes = np.unique(np.concatenate(parts))  # sorted
+    if hashes.size == 0:
+        return None
+    hashes_ref = ray.put(hashes)
+
+    class HashSemiFilter:
+        def __init__(self):
+            self.hashes = ray.get(hashes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h = stable_hash([batch[kcol].to_numpy(zero_copy_only=False)])
+            idx = np.searchsorted(self.hashes, h)
+            idx[idx == len(self.hashes)] = 0
+            mask = self.hashes[idx] == h
+            return batch.filter(pa.array(mask))
+
+    return _with_scan_schema(gb, HashSemiFilter)
+
+
+def _with_scan_schema(gb: GroupBy, filter_cls):
+    from .group_by import events_dataset
+
     base = events_dataset(gb)
-    out = base.map_batches(SemiFilter, batch_format="pyarrow", concurrency=(1, 8))
+    out = base.map_batches(filter_cls, batch_format="pyarrow", concurrency=(1, 8))
     # the filter is schema-preserving: keep the scan's static schema so the
     # kernel needs no actor-pool probe
     for attr in ("_raywin_schema", "_raywin_names"):

@@ -119,3 +119,61 @@ def test_join_backfill(ray_session):
         b = merged[f"{col}_k"].astype(float)
         ok = (a.isna() & b.isna()) | np.isclose(a, b, rtol=1e-9, atol=1e-12)
         assert ok.all(), f"{col}:\n{merged[~ok][['event_id', col + '_o', col + '_k']].head()}"
+
+
+def test_hashed_semi_filter_prunes_right(ray_session, tmp_path):
+    """Mid-size pruning tier (the reference's bloom band, Join.scala:306-341):
+    a >100k-key left prunes the right scan through a sorted uint64 hash set
+    — real row reduction, zero result change vs the unpruned kernel."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from raywin.pipelines.group_by import features_for_queries
+    from raywin.pipelines.join import SMALL_MODE_CUTOFF, _semi_filtered_right
+
+    n_left = SMALL_MODE_CUTOFF + 20_000
+    rng = np.random.default_rng(5)
+    left_keys = np.arange(n_left, dtype=np.int64) * 2  # evens only
+    left = pd.DataFrame(
+        {
+            "uid": left_keys,
+            "ts": 1_600_000_000_000 + rng.integers(0, 10**9, n_left),
+        }
+    )
+    right_n = 300_000
+    right = pd.DataFrame(
+        {
+            # evens AND odds: about half the right rows must be pruned
+            "uid": rng.integers(0, 2 * n_left, right_n).astype(np.int64),
+            "ts": 1_590_000_000_000 + rng.integers(0, 10**10, right_n),
+            "value": rng.normal(10, 3, right_n).round(3),
+        }
+    )
+    rp = str(tmp_path / "right.parquet")
+    pq.write_table(pa.Table.from_pandas(right, preserve_index=False), rp)
+    gb = GroupBy(
+        sources=[EventSource(table=rp, query=Query())],
+        key_columns=["uid"],
+        aggregations=[Aggregation(Operation.SUM, "value", windows=[Window(365, TimeUnit.DAYS)])],
+        accuracy=Accuracy.TEMPORAL,
+        name="mid_left",
+    )
+    queries = ray.data.from_pandas(left)
+    filtered = _semi_filtered_right(gb, queries, n_left=n_left)
+    assert filtered is not None, "hash tier must engage above the exact cutoff"
+    kept = filtered.count()
+    exp_kept = int(np.isin(right["uid"].to_numpy(), left_keys).sum())
+    assert kept == exp_kept  # no false negatives; hash-exact positives
+    assert kept < right_n * 0.6  # the scan really was reduced
+
+    a = (
+        features_for_queries(gb, queries, num_buckets=8, right_ds=filtered)
+        .to_pandas().sort_values(["uid", "ts"]).reset_index(drop=True)
+    )
+    b = (
+        features_for_queries(gb, queries, num_buckets=8)
+        .to_pandas().sort_values(["uid", "ts"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
