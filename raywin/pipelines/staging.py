@@ -81,12 +81,31 @@ def run_staging_query(
     end_date: str,
     tables: dict[str, str],
     output_dir: str | None = None,
+    step_days: int | None = None,
 ):
-    """Render + execute; returns a ray.data.Dataset over the result."""
+    """Render + execute; returns a ray.data.Dataset over the result.
+
+    With step_days set, [start_date, end_date] is split into inclusive
+    sub-ranges and each shard's rendered SQL runs in its own Ray task — the
+    reference's stepDays execution (StagingQuery.scala:58-89: `stepRanges =
+    partitionRange.steps(stepDays)`), which distributes the staging node
+    across the cluster.  As there, the author contract is that the query is
+    range-shardable: every row belongs to exactly one {{ start_date }} ..
+    {{ end_date }} slice and no aggregate straddles slices.  Without
+    step_days the statement runs once on a single DuckDB (multi-threaded,
+    out-of-core) — the fallback for non-shardable SQL."""
     import ray.data
 
     from ..stages.query import get_duckdb
 
+    if step_days:
+        out = _run_sharded(sq, start_date, end_date, tables, step_days)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            out_path = os.path.join(output_dir, sq.name)
+            out.write_parquet(out_path)
+            return ray.data.read_parquet(out_path)
+        return out
     sql = render_query(sq, start_date, end_date, tables)
     con = get_duckdb().connect()
     for setup in sq.setups:
@@ -100,3 +119,53 @@ def run_staging_query(
         return ray.data.read_parquet(out_path)
     table = con.execute(sql).fetch_arrow_table()
     return ray.data.from_arrow(table)
+
+
+class _ShardRunner:
+    """Actor-pool stage: one DuckDB per actor (views registered once in
+    __init__), one rendered date-slice SQL per __call__."""
+
+    def __init__(self, sq: StagingQuery, tables: dict[str, str]):
+        from ..stages.query import get_duckdb
+
+        self.sq = sq
+        self.tables = tables
+        self.con = get_duckdb().connect()
+        for setup in sq.setups:
+            self.con.execute(setup)
+        for name, path in tables.items():
+            self.con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'")
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        outs = []
+        for s, e in zip(batch["start"], batch["end"]):
+            sql = render_query(self.sq, str(s), str(e), self.tables)
+            outs.append(self.con.execute(sql).fetch_arrow_table())
+        return pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+
+
+def _run_sharded(sq: StagingQuery, start_date: str, end_date: str,
+                 tables: dict[str, str], step_days: int):
+    import pandas as pd
+    import ray.data
+
+    from .backfill import MILLIS_DAY, day_partitions
+
+    specs = [
+        {
+            "start": pd.Timestamp(lo, unit="ms").strftime("%Y-%m-%d"),
+            # inclusive shard end, the reference's PartitionRange convention
+            "end": pd.Timestamp(hi - MILLIS_DAY, unit="ms").strftime("%Y-%m-%d"),
+        }
+        for _, lo, hi in day_partitions(start_date, end_date, step_days)
+    ]
+    shard_ds = ray.data.from_items(specs)
+    return shard_ds.map_batches(
+        _ShardRunner,
+        fn_constructor_args=(sq, tables),
+        batch_size=1,
+        concurrency=(1, 8),
+        batch_format="pandas",
+    )
