@@ -913,11 +913,20 @@ bnd0 AS (SELECT doc_id, k // 4 AS band,
                       (__a, __x) -> (__a * {HORNER_B} + __x) % CAST({U64} AS HUGEINT)) AS bh
          FROM mins GROUP BY doc_id, k // 4),
 {sql_splitmix64_ctes('bnd0', 'bh', 'doc_id, band', 'bhs')},
-buck AS (SELECT band, h, min(doc_id) AS bucket_min FROM bhs GROUP BY band, h),
-lab AS (SELECT b.doc_id, min(bu.bucket_min) AS cluster
-        FROM bhs b JOIN buck bu ON bu.band = b.band AND bu.h = b.h
-        GROUP BY b.doc_id)
-SELECT doc_id, cluster FROM lab
+edges AS MATERIALIZED (SELECT DISTINCT doc_id, band, h FROM bhs),
+-- full connected components over the doc-bucket bipartite graph (the Ray
+-- side iterates min-label propagation to a fixpoint): classic recursive
+-- pair propagation, min label per reachability set
+reach AS (
+  WITH RECURSIVE r(doc_id, lab) AS (
+      SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM edges)
+    UNION
+      SELECT e2.doc_id, r.lab
+      FROM r JOIN edges e1 ON e1.doc_id = r.doc_id
+      JOIN edges e2 ON e2.band = e1.band AND e2.h = e1.h
+  )
+  SELECT * FROM r)
+SELECT doc_id, min(lab) AS cluster FROM reach GROUP BY doc_id
 """
     return {
         "fingerprint_docs": fingerprint,
@@ -1172,25 +1181,28 @@ FROM p GROUP BY image_id, ts
 def staging_query_revenue(sf_dir: str):
     from .staging import StagingQuery, run_staging_query
 
+    # inclusive {{ start_date }}..{{ end_date }} slices (the reference's
+    # PartitionRange convention) so the query is step-shardable; executed
+    # DISTRIBUTED via step_days (one Ray task per 30-day slice)
     sq = StagingQuery(
         name="daily_revenue",
         query="""
             SELECT o_orderdate, count(*) AS n_orders, sum(o_totalprice) AS revenue
             FROM orders
-            WHERE o_orderdate >= DATE '{{ start_date }}'
-              AND o_orderdate < DATE '{{ end_date }}'
+            WHERE o_orderdate BETWEEN DATE '{{ start_date }}' AND DATE '{{ end_date }}'
             GROUP BY o_orderdate
         """,
     )
     return run_staging_query(
-        sq, "1995-01-01", "1996-01-01", {"orders": f"{sf_dir}/orders.parquet"}
+        sq, "1995-01-01", "1995-12-31", {"orders": f"{sf_dir}/orders.parquet"},
+        step_days=30,
     )
 
 
 STAGING_SQL = """
 SELECT o_orderdate, count(*) AS n_orders, sum(o_totalprice) AS revenue
 FROM orders
-WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
 GROUP BY o_orderdate
 """
 

@@ -100,37 +100,174 @@ class MinHashBands:
         )
 
 
-def minhash_lsh_clusters(ds, text_col: str, id_col: str, num_perm=64, bands=16, shingle=5):
-    """Near-duplicate clustering: docs sharing any LSH band bucket get the
-    bucket's min doc id as a cluster label; a doc in several buckets takes the
-    overall min (single-round min-label propagation — transitive chains
-    longer than one hop may stay in separate clusters; iterate for full CC)."""
-    from ..stages.shuffle import BUCKET_COL, AddBucket
+def _labels_checksum(labels_ds, id_col: str) -> int:
+    """Order-independent uint64 checksum of a (doc, cluster) label table:
+    one wraparound sum per block, tiny per-block rows to the driver.  Labels
+    only DECREASE across propagation rounds, so checksum equality between
+    rounds means fixpoint (up to a 64-bit collision)."""
 
-    sig = ds.map_batches(
-        MinHashBands(text_col, id_col, num_perm, bands, shingle), batch_format="pyarrow"
+    def block_sum(batch: pa.Table) -> pa.Table:
+        h = stable_hash(
+            [
+                batch[id_col].to_numpy(zero_copy_only=False),
+                batch["cluster"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        with np.errstate(over="ignore"):
+            s = np.uint64(h.sum())
+        return pa.table({"s": pa.array([s], type=pa.uint64())})
+
+    parts = labels_ds.map_batches(block_sum, batch_format="pyarrow").to_pandas()
+    with np.errstate(over="ignore"):
+        return int(parts["s"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64))
+
+
+def _cc_local(edges, id_col: str):
+    """Count-gated local connected components: pull the COMPACT edge table
+    (ids + two ints — never payloads) and run vectorized min-label
+    propagation with pointer jumping in numpy.  Converges in O(log diameter)
+    passes of O(edges) vector work — no per-round shuffle overhead."""
+    import ray.data
+
+    df = edges.to_pandas()
+    ids = df[id_col].to_numpy()
+    docs = np.unique(ids)  # sorted: code order == id order, so min code == min id
+    dcode = np.searchsorted(docs, ids)
+    bcode, _ = pd.factorize(
+        stable_hash(
+            [df["band"].to_numpy(), df["band_hash"].to_numpy()]
+        )
     )
+    n_docs, n_buckets = len(docs), int(bcode.max()) + 1 if len(bcode) else 0
+    label = np.arange(n_docs, dtype=np.int64)
+    while True:
+        bmin = np.full(n_buckets, n_docs, dtype=np.int64)
+        np.minimum.at(bmin, bcode, label[dcode])
+        new = label.copy()
+        np.minimum.at(new, dcode, bmin[bcode])
+        while True:  # pointer jumping: path-halve chains to their root
+            jumped = np.minimum(new, new[new])
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, label):
+            break
+        label = new
+    return ray.data.from_arrow(
+        pa.table({id_col: pa.array(docs), "cluster": pa.array(docs[label])})
+    )
+
+
+def minhash_lsh_clusters(
+    ds, text_col: str, id_col: str, num_perm=64, bands=16, shingle=5,
+    max_rounds=8, local_edge_cutoff: int | None = None,
+):
+    """Near-duplicate clustering with FULL connected components: docs sharing
+    any LSH band bucket are linked; min-label propagation over the doc-bucket
+    bipartite graph iterates to a fixpoint (converges in O(component
+    diameter) rounds — near-dup components are shallow, so 2-3 rounds in
+    practice; max_rounds bounds adversarial chains).
+
+    Scale shape: the compact edge table (doc_id, band, band_hash) — never the
+    payloads — is materialized ONCE and reused every round.  Below
+    local_edge_cutoff edges (RAYWIN_CC_LOCAL_EDGES, default 5M ≈ tens of MB)
+    the components are solved locally in vectorized numpy (count-gated like
+    the join's small mode); above it, each round is two co-partition shuffles
+    over compact label rows with convergence detected by a per-block checksum
+    aggregate (one uint64 per block to the driver, nothing else)."""
+    import os
+
+    from ..stages.shuffle import BUCKET_COL, SIDE_COL, AddBucket
+
+    if local_edge_cutoff is None:
+        local_edge_cutoff = int(os.environ.get("RAYWIN_CC_LOCAL_EDGES", "5000000"))
     num_buckets = 64
+    # compact edges, computed once: payload text never leaves this stage
+    edges = ds.map_batches(
+        MinHashBands(text_col, id_col, num_perm, bands, shingle), batch_format="pyarrow"
+    ).materialize()
+    if edges.count() <= local_edge_cutoff:
+        return _cc_local(edges, id_col)
 
     def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        g["cluster"] = g.groupby(["band", "band_hash"], sort=False)[id_col].transform("min")
+        g["cluster"] = g.groupby(["band", "band_hash"], sort=False)["cluster"].transform("min")
         return g[[id_col, "cluster"]]
-
-    labeled = (
-        sig.map_batches(AddBucket(["band", "band_hash"], num_buckets), batch_format="pyarrow")
-        .groupby(BUCKET_COL)
-        .map_groups(bucket_min, batch_format="pandas")
-    )
 
     def doc_min(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(id_col, as_index=False, sort=False)["cluster"].min()
 
-    return (
-        labeled.map_batches(AddBucket([id_col], num_buckets), batch_format="pyarrow")
-        .groupby(BUCKET_COL)
-        .map_groups(doc_min, batch_format="pandas")
-    )
+    def propagate(labeled_edges):
+        """(doc, band, hash, cluster) -> new (doc, cluster) labels."""
+        return (
+            labeled_edges.map_batches(
+                AddBucket(["band", "band_hash"], num_buckets), batch_format="pyarrow"
+            )
+            .groupby(BUCKET_COL)
+            .map_groups(bucket_min, batch_format="pandas")
+            .map_batches(AddBucket([id_col], num_buckets), batch_format="pyarrow")
+            .groupby(BUCKET_COL)
+            .map_groups(doc_min, batch_format="pandas")
+        )
+
+    # round 1: label(doc) = doc, so edges are already "labeled"
+    def self_label(batch: pa.Table) -> pa.Table:
+        return batch.append_column("cluster", batch[id_col])
+
+    labels = propagate(edges.map_batches(self_label, batch_format="pyarrow")).materialize()
+    checksum = _labels_checksum(labels, id_col)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        """Co-partitioned (edges ∪ labels) bucket -> edges with each doc's
+        current label attached."""
+        lab = g[g[SIDE_COL] == 0]
+        e = g[g[SIDE_COL] == 1]
+        m = dict(zip(lab[id_col], lab["cluster"]))
+        out = e[[id_col, "band", "band_hash"]].copy()
+        out["cluster"] = out[id_col].map(m)
+        return out
+
+    cols = [id_col, "band", "band_hash", "cluster"]
+
+    def pad_labels(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch[id_col],
+                pa.nulls(len(batch), pa.int32()),
+                pa.nulls(len(batch), pa.int64()),
+                batch["cluster"],
+                pa.array(np.zeros(len(batch), dtype=np.int8)),
+            ],
+            names=cols + [SIDE_COL],
+        )
+
+    def pad_edges(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch[id_col],
+                batch["band"],
+                batch["band_hash"],
+                pa.nulls(len(batch), batch[id_col].type),
+                pa.array(np.ones(len(batch), dtype=np.int8)),
+            ],
+            names=cols + [SIDE_COL],
+        )
+
+    for _ in range(max_rounds - 1):
+        unioned = labels.map_batches(pad_labels, batch_format="pyarrow").union(
+            edges.map_batches(pad_edges, batch_format="pyarrow")
+        )
+        labeled_edges = (
+            unioned.map_batches(AddBucket([id_col], num_buckets), batch_format="pyarrow")
+            .groupby(BUCKET_COL)
+            .map_groups(attach, batch_format="pandas")
+        )
+        labels = propagate(labeled_edges).materialize()
+        new_checksum = _labels_checksum(labels, id_col)
+        if new_checksum == checksum:
+            break
+        checksum = new_checksum
+    return labels
 
 
 class SimHash:

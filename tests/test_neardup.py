@@ -96,3 +96,40 @@ def test_cosine_neardup_pairs(ray_session, tmp_path):
     assert (got["a"].to_numpy() == exp["a"].to_numpy()).all()
     assert (got["b"].to_numpy() == exp["b"].to_numpy()).all()
     assert np.allclose(got["sim"], exp["sim"], atol=1e-9)
+
+
+@pytest.mark.parametrize("cutoff", [5_000_000, 0])  # local numpy CC / distributed rounds
+def test_minhash_transitive_closure(ray_session, tmp_path, cutoff):
+    """An A-B-C transitive chain (A~B and B~C near-dup, A!~C directly) must
+    cluster into ONE component on both CC paths — the fixpoint property the
+    single-round propagation lacked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from raywin.stages.dedup import minhash_lsh_clusters
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i:03d}" for i in range(400)]
+    base = rng.choice(words, size=60).tolist()
+    a = " ".join(base)
+    b_t = list(base); b_t[:6] = ["x1", "x2", "x3", "x4", "x5", "x6"]
+    b = " ".join(b_t)                     # shares 90% with A
+    c_t = list(b_t); c_t[-6:] = ["y1", "y2", "y3", "y4", "y5", "y6"]
+    c = " ".join(c_t)                     # shares 90% with B, 80% with A
+    others = [" ".join(rng.choice(words, size=60).tolist()) for _ in range(20)]
+    texts = [a, b, c] + others
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    path = str(tmp_path / "chain.parquet")
+    pq.write_table(t, path)
+
+    ds = ray.data.read_parquet(path)
+    out = minhash_lsh_clusters(
+        ds, "text", "doc_id", local_edge_cutoff=cutoff
+    ).to_pandas().set_index("doc_id")["cluster"]
+    assert len(out) == len(texts)
+    # chain endpoints need not share a bucket directly; closure links them
+    assert out.loc[0] == out.loc[1] == out.loc[2] == 0
+    # unrelated docs stay out of the chain's cluster
+    assert (out.loc[3:] != 0).all()
