@@ -1242,23 +1242,56 @@ class PartitionAggregator:
         if getattr(op, "order_sensitive", False):
             # lossy sketches give different (equally valid) results under a
             # different merge fold; keep them on the fixed ascending-tile
-            # fold so outputs are reproducible run to run
+            # fold so outputs are reproducible run to run AND SQL-oracle-
+            # mirrorable.  Amortization WITHOUT changing the fold: queries
+            # sharing a window-start tile share an incrementally-extended
+            # ascending prefix fold (identical merge sequence per query, so
+            # bitwise-identical outputs); sawtooth lows are hop-aligned, so
+            # the start tile is never partial on the temporal path and the
+            # cache hits for every query inside a hop.
+            cache_t0 = None
+            cache_t1 = -1
+            cache_ir = None
             for i in range(nq):
                 li, ri = int(l[i]), int(r[i])
                 if li >= ri:
                     out[i] = None
                     continue
-                t0, t1 = tile_idx[li], tile_idx[ri - 1]
-                ir = None
-                for t in range(t0, t1 + 1):
-                    a, b = tile_bounds[t], tile_bounds[t + 1]
-                    if li <= a and b <= ri:
-                        sub = tile_ir(t)
-                    else:
-                        sub = raw_ir(max(a, li), min(b, ri))
-                    if sub is None:
-                        continue
-                    ir = _clone_ir(sub) if ir is None else op.merge(ir, _clone_ir(sub))
+                t0, t1 = int(tile_idx[li]), int(tile_idx[ri - 1])
+                head_partial = tile_bounds[t0] < li
+                tail_partial = tile_bounds[t1 + 1] > ri
+                if head_partial or (t0 == t1 and tail_partial):
+                    # non-hop-aligned low (or single partial tile): exact
+                    # per-query ascending fold, unchanged
+                    ir = None
+                    for t in range(t0, t1 + 1):
+                        a, b = tile_bounds[t], tile_bounds[t + 1]
+                        if li <= a and b <= ri:
+                            sub = tile_ir(t)
+                        else:
+                            sub = raw_ir(max(a, li), min(b, ri))
+                        if sub is None:
+                            continue
+                        ir = _clone_ir(sub) if ir is None else op.merge(ir, _clone_ir(sub))
+                    out[i] = None if ir is None else op.finalize(ir)
+                    continue
+                ft1 = t1 - 1 if tail_partial else t1
+                if cache_t0 != t0 or cache_t1 > ft1:
+                    cache_t0, cache_t1, cache_ir = t0, t0 - 1, None
+                for t in range(cache_t1 + 1, ft1 + 1):
+                    sub = tile_ir(t)
+                    if sub is not None:
+                        cache_ir = (
+                            _clone_ir(sub)
+                            if cache_ir is None
+                            else op.merge(cache_ir, _clone_ir(sub))
+                        )
+                cache_t1 = max(cache_t1, ft1)
+                ir = None if cache_ir is None else _clone_ir(cache_ir)
+                if tail_partial:
+                    sub = raw_ir(int(tile_bounds[t1]), ri)
+                    if sub is not None:
+                        ir = sub if ir is None else op.merge(ir, sub)
                 out[i] = None if ir is None else op.finalize(ir)
             return out
 
