@@ -25,6 +25,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_IMG_DIR = os.environ.get("RAYWIN_BENCH_IMG", "/tmp/raywin_img_bench1m")
 BENCH_IMG_ROWS = int(os.environ.get("RAYWIN_BENCH_IMG_ROWS", "1000000"))
+# the 10x scale leg: 10M rows over a 365-day span (span >> max window, so
+# hot-key time-chunk replication actually engages); RAYWIN_BENCH_SCALE=0
+# skips it for quick iteration
+SCALE_IMG_DIR = os.environ.get("RAYWIN_BENCH_IMG_SCALE", "/tmp/raywin_img_bench10m")
+SCALE_IMG_ROWS = int(os.environ.get("RAYWIN_BENCH_SCALE_ROWS", "10000000"))
+RUN_SCALE = os.environ.get("RAYWIN_BENCH_SCALE", "1") != "0"
 
 
 def ensure_bench_images():
@@ -42,6 +48,21 @@ def ensure_bench_images():
             files=16, skew=1.2,
         )
     return BENCH_IMG_DIR
+
+
+def ensure_scale_images():
+    from raywin.stages.images import cache_is_current, generate_image_events
+
+    marker = os.path.join(SCALE_IMG_DIR, "part-0063.parquet")
+    if not (os.path.exists(marker) and cache_is_current(SCALE_IMG_DIR)):
+        import shutil
+
+        shutil.rmtree(SCALE_IMG_DIR, ignore_errors=True)
+        generate_image_events(
+            SCALE_IMG_DIR, n_rows=SCALE_IMG_ROWS, n_entities=SCALE_IMG_ROWS // 40,
+            files=64, skew=1.2, span_days=365,
+        )
+    return SCALE_IMG_DIR
 
 
 def run_benchmarks():
@@ -132,6 +153,38 @@ def run_benchmarks():
     timed("q1_pricing_summary", lambda: catalog.q1_pricing_summary(SF_DIR).count(), repeats=3)
     timed("minhash_clusters", lambda: catalog.minhash_clusters_docs(SF_DIR).count(), repeats=3)
     timed("ann_cosine_topk", lambda: catalog.ann_cosine_topk(SF_DIR).count(), repeats=3)
+
+    if RUN_SCALE:
+        # 10x scale leg: same flagship pipeline, 10M rows / 365d span.
+        # One untimed warmup (same protocol as the 1M leg), then:
+        #   image_backfill_10m          — flagship GroupBy (has an unbounded
+        #     AVERAGE, so time-chunk replication is OFF: with an unbounded
+        #     part every later chunk must receive ALL earlier hot-key events,
+        #     measured a net loss — BASELINE.md §3 round-3)
+        #   image_backfill_10m_hotchunk — bounded-windows GroupBy with the
+        #     hot-key chunk path ON (6 Zipf keys >2%, top key ~19% of rows)
+        sdir = ensure_scale_images()
+        image_feature_backfill(sdir, handle_skew=False, read_blocks=64).count()
+        n10 = timed(
+            "image_backfill_10m",
+            lambda: image_feature_backfill(sdir, handle_skew=False, read_blocks=64).count(),
+            repeats=1,
+        )
+        timed(
+            "image_backfill_10m_hotchunk",
+            lambda: image_feature_backfill(
+                sdir, handle_skew=True, read_blocks=64, bounded_only=True
+            ).count(),
+            repeats=1,
+        )
+        extra["scale_rows"] = n10
+        extra["scale_rows_per_sec"] = round(n10 / timings["image_backfill_10m"], 1)
+        # per-feature-row cost at 10M relative to the 1M leg (the <=2x bar)
+        extra["scale_per_row_cost_vs_1m"] = round(
+            (timings["image_backfill_10m"] / n10)
+            / (timings["image_backfill"] / extra["feature_rows"]),
+            3,
+        )
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -38,14 +38,20 @@ class CaptionCheck:
         return batch
 
 
-def image_feature_group_by(table_path: str) -> GroupBy:
+def image_feature_group_by(table_path: str, bounded_only: bool = False) -> GroupBy:
+    """bounded_only drops the unbounded AVERAGE window: with any unbounded
+    part, hot-key time-chunk replication must ship ALL earlier chunks of a
+    hot key into every later chunk (factor ~n_chunks/2), which the 10M-row
+    scale bench measured as a net loss — bounded windows cap the lookback at
+    window+hop, where replication wins (BASELINE.md §3 round-3 section)."""
+    avg_windows = [Window(7, TimeUnit.DAYS)] + ([] if bounded_only else [Window(-1)])
     return GroupBy(
         sources=[EventSource(table=table_path, query=Query())],
         key_columns=["image_id"],
         aggregations=[
             Aggregation(Operation.SUM, "views", windows=[Window(1, TimeUnit.DAYS), Window(7, TimeUnit.DAYS)]),
             Aggregation(Operation.COUNT, "views", windows=[Window(7, TimeUnit.DAYS)]),
-            Aggregation(Operation.AVERAGE, "score", windows=[Window(7, TimeUnit.DAYS), Window(-1)]),
+            Aggregation(Operation.AVERAGE, "score", windows=avg_windows),
             Aggregation(Operation.LAST_K, "mean_lum", windows=[Window(7, TimeUnit.DAYS)], arg_map={"k": 3}),
             # disc (nearest-rank) percentiles return actual data elements, so
             # the SQL oracle (quantile_disc) reproduces them exactly
@@ -67,6 +73,7 @@ def image_feature_backfill(
     decode_concurrency=None,
     handle_skew: bool = False,
     read_blocks: int | None = 32,
+    bounded_only: bool = False,
 ):
     """handle_skew=True turns on hot-key time-chunk replication
     (stages/shuffle.py HotChunk*) — worth it when the scanned time span is
@@ -96,7 +103,7 @@ def image_feature_backfill(
             batch_size=8192,
             concurrency=decode_concurrency,
         )
-    gb = image_feature_group_by(table_path)
+    gb = image_feature_group_by(table_path, bounded_only=bounded_only)
     # backfill queries come from the RAW event scan (only image_id, ts leave
     # storage) so decode runs exactly once; duplicate (image_id, ts) pairs are
     # deduplicated inside the kernel's own co-partition shuffle — no separate
