@@ -118,7 +118,61 @@ def image_feature_backfill(
         hot_config = detect_hot_keys(
             ray.data.read_parquet(table_path, columns=["image_id", "ts"]), "image_id"
         )
+    parts = gb.agg_parts()
+    unbounded = [p for p in parts if p.window.unbounded]
+    if hot_config is not None and hot_config.keys and unbounded:
+        # SPLIT: with an unbounded part, chunk replication must ship ALL
+        # earlier hot-key events into every later chunk (factor ~n_chunks/2 —
+        # measured a net LOSS at 10M rows, BASELINE.md §3 round-3), while
+        # unbounded windows are exactly the ones the prefix/cumsum engines
+        # absorb without replication.  So: bounded parts ride the hot-chunk
+        # pass; unbounded parts run as a SECOND chained co-partition over the
+        # running output (passthrough assembly, no join).  Decode runs once:
+        # the projected feature columns are materialized and shared.
+        gb_b = _subset_group_by(gb, [p for p in parts if not p.window.unbounded], "img_b")
+        gb_u = _subset_group_by(gb, unbounded, "img_u")
+        in_cols = list(
+            dict.fromkeys(
+                ["image_id", "ts"]
+                + [p.input_column for p in parts]
+                + ([gb.tie_breaker] if gb.tie_breaker else [])
+            )
+        )
+        decoded_mat = decoded.select_columns(in_cols).materialize()
+        out = features_for_queries(
+            gb_b, left, num_buckets=num_buckets, right_ds=decoded_mat,
+            dedupe_queries=True, hot_config=hot_config,
+        )
+        return features_for_queries(
+            gb_u, out, num_buckets=num_buckets, right_ds=decoded_mat,
+        )
     return features_for_queries(
         gb, left, num_buckets=num_buckets, right_ds=decoded, dedupe_queries=True,
         hot_config=hot_config,
+    )
+
+
+def _subset_group_by(gb: GroupBy, parts, name: str) -> GroupBy:
+    """GroupBy re-assembled from a subset of already-unpacked parts (each
+    part becomes a single-window Aggregation with identical output names)."""
+    from ..api import Aggregation as Agg
+
+    aggs = [
+        Agg(
+            p.operation,
+            p.input_column,
+            windows=[p.window],
+            arg_map=dict(p.arg_map) if p.arg_map else {},
+            buckets=[p.bucket] if p.bucket else None,
+            element_wise=p.element_wise,
+        )
+        for p in parts
+    ]
+    return GroupBy(
+        sources=gb.sources,
+        key_columns=gb.key_columns,
+        aggregations=aggs,
+        accuracy=gb.accuracy,
+        name=name,
+        tie_breaker=gb.tie_breaker,
     )

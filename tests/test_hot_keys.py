@@ -89,3 +89,43 @@ def test_hot_chunking_invisible(ray_session, hot_table):
         else:
             a1, a2 = b[col].astype(float), c[col].astype(float)
             assert ((a1.isna() & a2.isna()) | np.isclose(a1, a2, rtol=1e-9, atol=max(atol, 1e-12), equal_nan=True)).all(), col
+
+
+def test_split_unbounded_backfill_invisible(ray_session, tmp_path):
+    """handle_skew with an unbounded part auto-splits: bounded parts ride the
+    hot-chunk pass, unbounded parts a second chained co-partition — must be
+    row-for-row invisible vs the single-pass unsplit run."""
+    from raywin.pipelines.images import image_feature_backfill
+    from raywin.stages.images import generate_image_events
+
+    path = str(tmp_path / "img")
+    # 90d span >> 30d max window so chunks engage; Zipf over few entities so
+    # detect_hot_keys fires
+    generate_image_events(path, n_rows=20000, n_entities=400, files=4,
+                          skew=1.2, span_days=90)
+    base = image_feature_backfill(path, num_buckets=8, handle_skew=False).to_pandas()
+    split = image_feature_backfill(path, num_buckets=8, handle_skew=True).to_pandas()
+    assert len(base) == len(split)
+    key = ["image_id", "ts"]
+    b = base.sort_values(key).reset_index(drop=True)
+    s = split.sort_values(key).reset_index(drop=True)
+    assert set(b.columns) == set(s.columns)
+    for col in b.columns:
+        if col in key:
+            continue
+        bv, sv = b[col], s[col]
+        if bv.dtype == object:  # list-valued (last_k, percentiles)
+            for x, y in zip(bv, sv):
+                if x is None or (isinstance(x, float) and pd.isna(x)):
+                    assert y is None or (isinstance(y, float) and pd.isna(y))
+                else:
+                    # approx ops are partition-dependent (binned hybrid CDF);
+                    # relative tolerance — contrast values live on a 0-100
+                    # scale where a fixed atol misreads sketch error
+                    np.testing.assert_allclose(
+                        np.asarray(x, dtype=float), np.asarray(y, dtype=float),
+                        rtol=0.02 if "approx" in col else 1e-9,
+                    )
+        else:
+            rtol = 0.02 if "approx" in col else 1e-9
+            pd.testing.assert_series_equal(bv, sv, rtol=rtol, atol=1e-12, check_exact=False)
