@@ -155,19 +155,25 @@ def run_benchmarks():
     timed("ann_cosine_topk", lambda: catalog.ann_cosine_topk(SF_DIR).count(), repeats=3)
 
     if RUN_SCALE:
-        # 10x scale leg: same flagship pipeline, 10M rows / 365d span.
-        # One untimed warmup (same protocol as the 1M leg), then:
-        #   image_backfill_10m          — flagship GroupBy (has an unbounded
-        #     AVERAGE, so time-chunk replication is OFF: with an unbounded
-        #     part every later chunk must receive ALL earlier hot-key events,
-        #     measured a net loss — BASELINE.md §3 round-3)
-        #   image_backfill_10m_hotchunk — bounded-windows GroupBy with the
-        #     hot-key chunk path ON (6 Zipf keys >2%, top key ~19% of rows)
+        # 10x scale leg: same flagship pipeline, 10M rows / 365d span, hot
+        # path ON (6 Zipf keys >2% of rows, top key ~19%):
+        #   image_backfill_10m          — flagship GroupBy with handle_skew:
+        #     bounded parts ride hot-chunk replication, the unbounded AVERAGE
+        #     auto-splits into a chained prefix-engine co-partition (chunk
+        #     replication with an unbounded part must ship ALL earlier
+        #     hot-key events into every later chunk — measured a net loss,
+        #     BASELINE.md §3 round-3)
+        #   image_backfill_10m_hotchunk — bounded-windows-only GroupBy,
+        #     chunk path ON end to end (the pure-kernel comparison: 2.7x
+        #     over its own chunking-OFF baseline)
+        # Warmup = one full parquet scan (page cache); workers are already
+        # warm from the 1M leg, and a full pipeline warmup would double the
+        # bench cost for the same effect.
         sdir = ensure_scale_images()
-        image_feature_backfill(sdir, handle_skew=False, read_blocks=64).count()
+        ray.data.read_parquet(sdir, override_num_blocks=64).count()
         n10 = timed(
             "image_backfill_10m",
-            lambda: image_feature_backfill(sdir, handle_skew=False, read_blocks=64).count(),
+            lambda: image_feature_backfill(sdir, handle_skew=True, read_blocks=64).count(),
             repeats=1,
         )
         timed(
