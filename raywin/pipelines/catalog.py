@@ -700,6 +700,83 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 """
 
 
+def repetition_stats_docs(sf_dir: str):
+    """Gopher-style repetition filters (duplicate/top word-bigram fractions)
+    over the documents table — standard LLM-corpus quality signals."""
+    import ray.data
+
+    from ..stages.text import RepetitionStats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(RepetitionStats("text"), batch_format="pandas")
+    return out.select_columns(["doc_id", "n_bigrams", "dup_bigram_frac", "top_bigram_frac"])
+
+
+REPETITION_STATS_SQL = """
+WITH t AS (SELECT doc_id,
+        regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS toks
+      FROM documents),
+bg AS (SELECT doc_id, len(toks) AS n_tok,
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), __i -> toks[__i] || chr(31) || toks[__i + 1])
+             ELSE [] END AS bigrams
+       FROM t),
+cnt AS (SELECT doc_id, b, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg) GROUP BY doc_id, b),
+top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg, count(*) AS d_bg
+        FROM cnt GROUP BY doc_id)
+SELECT bg.doc_id,
+  CAST(greatest(bg.n_tok - 1, 0) AS BIGINT) AS n_bigrams,
+  coalesce(1.0 - CAST(top.d_bg AS DOUBLE) / top.n_bg, 0.0) AS dup_bigram_frac,
+  coalesce(CAST(top.top_c AS DOUBLE) / top.n_bg, 0.0) AS top_bigram_frac
+FROM bg LEFT JOIN top USING (doc_id)
+"""
+
+
+def pii_scrub_docs(sf_dir: str):
+    """PII scrubbing with deterministic injected PII: every doc gets a
+    synthetic contact line appended (email + phone derived from doc_id), the
+    actor-pool PiiScrub stage must find and replace exactly those (plus any
+    already in the text).  Both sides build the same augmented text, so the
+    oracle checks the scrubbing byte for byte."""
+    import ray.data
+
+    from ..stages.text import PiiScrub
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def inject(df):
+        d = df["doc_id"].astype("string")
+        df = df.copy()
+        df["text"] = (
+            df["text"].fillna("")
+            + " contact: user" + d + "@example.com or +1 (555) 010-" + d
+        )
+        return df
+
+    out = ds.map_batches(inject, batch_format="pandas").map_batches(
+        PiiScrub, fn_constructor_args=("text",), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id", "n_emails", "n_phones", "clean_text"])
+
+
+PII_SCRUB_SQL = r"""
+WITH t AS (SELECT doc_id,
+        coalesce(text, '') || ' contact: user' || CAST(doc_id AS VARCHAR)
+          || '@example.com or +1 (555) 010-' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents),
+e AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM t)
+SELECT doc_id, n_emails,
+  CAST(len(regexp_extract_all(t1, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+  regexp_replace(t1, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+FROM e
+"""
+
+
 def text_stats_docs(sf_dir: str):
     import ray.data
 
@@ -2374,6 +2451,8 @@ ORACLE_QUERIES = {
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
     "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "text_stats": (text_stats_docs, TEXT_STATS_SQL),
+    "repetition_stats": (repetition_stats_docs, REPETITION_STATS_SQL),
+    "pii_scrub": (pii_scrub_docs, PII_SCRUB_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "elementwise_avg": (elementwise_avg_by_label, ELEMENTWISE_SQL),
 }

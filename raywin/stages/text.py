@@ -111,6 +111,84 @@ class LangId:
         return batch
 
 
+class RepetitionStats:
+    """Gopher-style repetition quality signals over lowercase word tokens:
+    duplicate-bigram fraction and top-bigram share — the standard "document
+    is boilerplate/spam" filters in LLM corpus prep (Rae et al. 2021 §A1.1).
+
+    Vectorized: tokens exploded once; consecutive-pair mask builds all
+    bigrams batch-wide; per-doc distinct/top counts via pandas groupby —
+    no per-document Python loop.  SQL-reproducible (list_distinct +
+    unnest counts)."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.tok = re.compile(r"[0-9a-z_]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].reset_index(drop=True).fillna("").str.lower()
+        toks = s.str.findall(self.tok)
+        n = len(batch)
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        n_bg = np.maximum(n_tok - 1, 0)
+        dup_frac = np.zeros(n, dtype=np.float64)
+        top_frac = np.zeros(n, dtype=np.float64)
+        if len(ex):
+            vals = ex.to_numpy()
+            pos = ex.index.to_numpy()
+            same = pos[1:] == pos[:-1]
+            if same.any():
+                first = vals[:-1][same]
+                second = vals[1:][same]
+                bpos = pos[:-1][same]
+                codes, _ = pd.factorize(
+                    pd.Series(first, dtype=object) + "\x1f" + pd.Series(second, dtype=object)
+                )
+                df = pd.DataFrame({"p": bpos, "c": codes})
+                per = df.groupby("p")["c"]
+                distinct = per.nunique()
+                topc = df.groupby(["p", "c"]).size().groupby(level=0).max()
+                idx = distinct.index.to_numpy()
+                nb = n_bg[idx].astype(np.float64)
+                dup_frac[idx] = 1.0 - distinct.to_numpy() / nb
+                top_frac[idx] = topc.to_numpy() / nb
+        batch["n_bigrams"] = n_bg
+        batch["dup_bigram_frac"] = dup_frac
+        batch["top_bigram_frac"] = top_frac
+        return batch
+
+
+class PiiScrub:
+    """PII scrubbing for corpus prep: emails then phone-like digit runs are
+    replaced with placeholder tokens, with per-row match counts.  Patterns
+    compiled once per actor (callable-class / actor-pool pattern); RE2-safe
+    syntax so the DuckDB oracle (regexp_replace/regexp_extract_all) matches
+    byte for byte.  Order is part of the contract: emails are counted and
+    replaced on the original text, phones on the email-scrubbed text."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+    def __init__(self, text_col: str = "text", out_col: str = "clean_text"):
+        import re
+
+        self.text_col = text_col
+        self.out_col = out_col
+        self.email = re.compile(self.EMAIL)
+        self.phone = re.compile(self.PHONE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        batch["n_emails"] = s.str.count(self.email).astype("int64")
+        s1 = s.str.replace(self.email, "<EMAIL>", regex=True)
+        batch["n_phones"] = s1.str.count(self.phone).astype("int64")
+        batch[self.out_col] = s1.str.replace(self.phone, "<PHONE>", regex=True)
+        return batch
+
+
 class Fingerprint:
     """Deterministic 64-bit document fingerprint: Horner polynomial hash of
     the whitespace-normalized text's code points — fully vectorized (one
