@@ -777,6 +777,48 @@ FROM e
 """
 
 
+def paragraph_dedup_docs(sf_dir: str):
+    """Corpus-wide exact paragraph dedup (FineWeb-style): the flat fixture
+    text is deterministically re-chunked into 10-word paragraphs (same regex
+    in the SQL oracle), then every paragraph keeps only its first
+    (doc, position) occurrence and documents are reassembled."""
+    import ray.data
+
+    from ..stages.dedup import dedup_paragraphs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chunk(df):
+        df = df.copy()
+        df["text"] = df["text"].fillna("").str.replace(
+            r"((?:\S+ ){9}\S+) ", "\\1\n\n", regex=True
+        )
+        return df
+
+    out = dedup_paragraphs(
+        ds.map_batches(chunk, batch_format="pandas"), "text", "doc_id"
+    )
+    return out.select_columns(["doc_id", "n_paras", "n_dropped", "clean_text"])
+
+
+PARAGRAPH_DEDUP_SQL = r"""
+WITH c AS (SELECT doc_id,
+        regexp_replace(coalesce(text, ''), '((?:\S+ ){9}\S+) ',
+                       '\1' || chr(10) || chr(10), 'g') AS t2
+      FROM documents),
+t AS (SELECT doc_id, string_split(t2, chr(10) || chr(10)) AS paras FROM c),
+p AS (SELECT doc_id, unnest(paras) AS para,
+             CAST(unnest(range(1, len(paras) + 1)) AS BIGINT) - 1 AS idx FROM t),
+f AS (SELECT para, min(doc_id * 1000000 + idx) AS mk FROM p GROUP BY para),
+k AS (SELECT p.*, (p.doc_id * 1000000 + p.idx) = f.mk AS keep FROM p JOIN f USING (para))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+  coalesce(string_agg(para, chr(10) || chr(10) ORDER BY idx) FILTER (WHERE keep), '')
+    AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+
 def text_stats_docs(sf_dir: str):
     import ray.data
 
@@ -2453,6 +2495,7 @@ ORACLE_QUERIES = {
     "text_stats": (text_stats_docs, TEXT_STATS_SQL),
     "repetition_stats": (repetition_stats_docs, REPETITION_STATS_SQL),
     "pii_scrub": (pii_scrub_docs, PII_SCRUB_SQL),
+    "paragraph_dedup": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "elementwise_avg": (elementwise_avg_by_label, ELEMENTWISE_SQL),
 }

@@ -3,10 +3,13 @@
 All stages are Dataset-native: vectorized per-batch signature computation,
 then ONE groupby shuffle over compact signature rows (never the payloads).
 
-  * exact_dedup      — content-hash partition + per-group first
-  * minhash_lsh      — shingle -> minhash -> band-bucket groupby -> min-label
-  * simhash          — 64-bit simhash fingerprint column
-  * ngram_jaccard    — verify candidate pairs with exact n-gram Jaccard
+  * exact_dedup       — content-hash partition + per-group first
+  * dedup_paragraphs  — corpus-wide exact paragraph dedup (FineWeb-style)
+  * minhash_lsh       — shingle -> minhash -> band buckets -> full
+                        connected components (local numpy or distributed
+                        min-label fixpoint rounds)
+  * simhash           — 64-bit simhash fingerprint column
+  * ngram_jaccard     — verify candidate pairs with exact n-gram Jaccard
 """
 
 from __future__ import annotations
@@ -268,6 +271,64 @@ def minhash_lsh_clusters(
             break
         checksum = new_checksum
     return labels
+
+
+def dedup_paragraphs(ds, text_col: str, id_col: str, sep: str = "\n\n",
+                     num_buckets: int = 64):
+    """FineWeb-style exact PARAGRAPH-level dedup: every paragraph keeps only
+    its first occurrence corpus-wide (ordered by (doc, position)); documents
+    are reassembled from their surviving paragraphs.
+
+    Scale shape: two co-partition shuffles over (doc, idx, para) rows —
+    first hashed by paragraph content (global winner per paragraph), then by
+    doc (ordered reassembly).  Returns (id, clean_text, n_paras, n_dropped);
+    a document whose every paragraph lost survives as an empty string, so
+    row count is preserved."""
+    from ..stages.shuffle import BUCKET_COL, AddBucket
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        paras = s.str.split(sep)
+        counts = paras.str.len().to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        off = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=off[1:])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(off, counts)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), counts),
+                "idx": idx,
+                "para": paras.explode().to_numpy(),
+            }
+        )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)  # unique positional index before isin
+        first = g.sort_values([id_col, "idx"], kind="stable").drop_duplicates("para")
+        g["keep"] = g.index.isin(first.index)
+        return g[[id_col, "idx", "para", "keep"]]
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        kept = g[g["keep"]].sort_values("idx", kind="stable")
+        agg = kept.groupby(id_col, sort=False)["para"].agg(sep.join)
+        stats = g.groupby(id_col, sort=False)["keep"].agg(["size", "sum"])
+        out = stats.reset_index().rename(columns={"size": "n_paras"})
+        out["n_dropped"] = (out.pop("sum").rsub(out["n_paras"])).astype("int64")
+        out["n_paras"] = out["n_paras"].astype("int64")
+        out["clean_text"] = out[id_col].map(agg).fillna("")
+        return out[[id_col, "n_paras", "n_dropped", "clean_text"]]
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+    marked = (
+        rows.map_batches(AddBucket(["para"], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(mark, batch_format="pandas")
+    )
+    return (
+        marked.map_batches(AddBucket([id_col], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(rebuild, batch_format="pandas")
+    )
 
 
 class SimHash:

@@ -43,3 +43,29 @@ def test_pii_scrub_edges():
         "no pii here",
         "",
     ]
+
+
+def test_paragraph_dedup(ray_session):
+    """Cross-document paragraph winner rule + row-count preservation."""
+    import ray.data
+
+    from raywin.stages.dedup import dedup_paragraphs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta\n\ngamma",
+                "alpha beta\n\ndelta",   # first para loses to doc 1
+                "alpha beta\n\ngamma",   # everything loses -> empty survivor
+            ],
+        }
+    )
+    out = (
+        dedup_paragraphs(ray.data.from_pandas(docs), "text", "doc_id", num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["clean_text"].tolist() == ["alpha beta\n\ngamma", "delta", ""]
+    assert out["n_paras"].tolist() == [2, 2, 2]
+    assert out["n_dropped"].tolist() == [0, 1, 2]
