@@ -819,6 +819,41 @@ FROM k GROUP BY doc_id
 """
 
 
+def duplicate_spans_docs(sf_dir: str):
+    """Cross-document duplicated-span stats: fraction of each doc's word
+    5-grams that occur >=2 times corpus-wide + the max corpus frequency
+    reached (Lee et al. 2022-style substring-duplication signal).  Docs with
+    fewer than 5 tokens have no grams and are excluded (both sides)."""
+    import ray.data
+
+    from ..stages.text import duplicate_span_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = duplicate_span_stats(ds, "text", "doc_id", n=5, hot=2)
+    return out.select_columns(["doc_id", "n_grams", "dup_gram_frac", "max_gram_freq"])
+
+
+DUPLICATE_SPANS_SQL = """
+WITH t AS (SELECT doc_id,
+        regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS toks
+      FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 5
+             THEN list_transform(range(1, len(toks) - 3),
+                  __i -> toks[__i] || chr(31) || toks[__i + 1] || chr(31)
+                      || toks[__i + 2] || chr(31) || toks[__i + 3] || chr(31)
+                      || toks[__i + 4])
+             ELSE [] END AS grams
+      FROM t),
+p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+c AS (SELECT gram, count(*) AS cnt FROM p GROUP BY gram)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(*) FILTER (WHERE c.cnt >= 2) AS DOUBLE) / count(*) AS dup_gram_frac,
+  CAST(max(c.cnt) AS BIGINT) AS max_gram_freq
+FROM p JOIN c USING (gram) GROUP BY p.doc_id
+"""
+
+
 def text_stats_docs(sf_dir: str):
     import ray.data
 
@@ -2496,6 +2531,7 @@ ORACLE_QUERIES = {
     "repetition_stats": (repetition_stats_docs, REPETITION_STATS_SQL),
     "pii_scrub": (pii_scrub_docs, PII_SCRUB_SQL),
     "paragraph_dedup": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
+    "duplicate_spans": (duplicate_spans_docs, DUPLICATE_SPANS_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "elementwise_avg": (elementwise_avg_by_label, ELEMENTWISE_SQL),
 }

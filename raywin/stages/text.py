@@ -189,6 +189,88 @@ class PiiScrub:
         return batch
 
 
+def duplicate_span_stats(ds, text_col: str, id_col: str, n: int = 5,
+                         hot: int = 2, num_buckets: int = 64):
+    """Cross-document duplicated-span signal (Lee et al. 2022 / Gopher
+    repetition, corpus-wide): for each document, the fraction of its word
+    n-grams that occur >= `hot` times in the WHOLE corpus, plus the max
+    corpus frequency any of its n-grams reaches — the standard 'this text
+    is boilerplate copied across the crawl' filter.
+
+    Scale shape: only (doc_id, gram_hash) rows ride the exchanges (8 B/gram,
+    never text).  One shuffle keyed by gram hash — all occurrences of a gram
+    land in one bucket, so counting and flagging happen in the same task —
+    then one shuffle keyed by doc for the per-document fraction."""
+    import pyarrow as pa
+
+    from ..functions.texthash import horner_texts
+    from ..stages.shuffle import BUCKET_COL, AddBucket
+
+    import re
+
+    tok_re = re.compile(r"[0-9a-z_]+")
+
+    def grams(batch: pd.DataFrame) -> pa.Table:
+        s = batch[text_col].reset_index(drop=True).fillna("").str.lower()
+        toks = s.str.findall(tok_re)
+        ex = toks.explode().dropna()
+        ids = batch[id_col].to_numpy()
+        if len(ex) == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.array(ids[:0]).type),
+                 "gh": pa.array([], type=pa.int64())}
+            )
+        th = horner_texts(ex.tolist())  # uint64 token hashes, vectorized
+        pos = ex.index.to_numpy()
+        # gram hash = Horner over n consecutive token hashes; valid when all
+        # n tokens belong to the same document
+        m = len(th) - n + 1
+        if m <= 0:
+            valid = np.zeros(0, dtype=bool)
+        else:
+            with np.errstate(over="ignore"):
+                gh = np.full(m, np.uint64(14695981039346656037), dtype=np.uint64)
+                for j in range(n):
+                    gh = gh * np.uint64(1000003) + th[j : j + m]
+            valid = pos[:m] == pos[n - 1 :]
+        gh = gh[valid] if m > 0 else np.zeros(0, dtype=np.uint64)
+        gpos = pos[:m][valid] if m > 0 else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[gpos]),
+                "gh": pa.array(gh.view(np.int64), type=pa.int64()),
+            }
+        )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("gh", sort=False)["gh"].transform("size")
+        return pd.DataFrame(
+            {id_col: g[id_col], "dup": (cnt >= hot).to_numpy(), "freq": cnt.to_numpy()}
+        )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(id_col, sort=False).agg(
+            n_grams=("dup", "size"), n_dup=("dup", "sum"), max_gram_freq=("freq", "max")
+        )
+        out = agg.reset_index()
+        out["dup_gram_frac"] = out.pop("n_dup") / out["n_grams"]
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["max_gram_freq"] = out["max_gram_freq"].astype("int64")
+        return out[[id_col, "n_grams", "dup_gram_frac", "max_gram_freq"]]
+
+    rows = ds.map_batches(grams, batch_format="pandas")
+    flagged = (
+        rows.map_batches(AddBucket(["gh"], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(flag, batch_format="pandas")
+    )
+    return (
+        flagged.map_batches(AddBucket([id_col], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
 class Fingerprint:
     """Deterministic 64-bit document fingerprint: Horner polynomial hash of
     the whitespace-normalized text's code points — fully vectorized (one

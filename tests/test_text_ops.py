@@ -69,3 +69,31 @@ def test_paragraph_dedup(ray_session):
     assert out["clean_text"].tolist() == ["alpha beta\n\ngamma", "delta", ""]
     assert out["n_paras"].tolist() == [2, 2, 2]
     assert out["n_dropped"].tolist() == [0, 1, 2]
+
+
+def test_duplicate_span_stats(ray_session):
+    """Corpus-wide 5-gram duplication: identical docs share every gram."""
+    import ray.data
+
+    from raywin.stages.text import duplicate_span_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e f",        # grams: abcde, bcdef
+                "a b c d e f",        # exact copy: every gram dup
+                "z y x w v u t",      # unique grams
+                "tiny doc",           # < 5 tokens: no grams, excluded
+            ],
+        }
+    )
+    out = (
+        duplicate_span_stats(ray.data.from_pandas(docs), "text", "doc_id",
+                             n=5, hot=2, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_grams"].tolist() == [2, 2, 3]
+    assert out["dup_gram_frac"].tolist() == [1.0, 1.0, 0.0]
+    assert out["max_gram_freq"].tolist() == [2, 2, 1]
