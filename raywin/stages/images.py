@@ -3,16 +3,21 @@ decoded/validated in actor-pool map_batches stages.
 
 The BASELINE input table is (image_id, bytes, w, h, fmt, caption, phash)
 (BASELINE.json input_hint).  This container ships no image libraries (no PIL),
-so two deterministic codecs are implemented from scratch on stdlib zlib:
+so the codecs are implemented from scratch on stdlib zlib:
 
-  * "png"  — real, minimal PNG (8-bit RGB, filter 0) — lossless
+  * "png"  — REAL spec-compliant PNG: encode 8-bit RGB (filter 0); decode
+             8-bit RGB/RGBA non-interlaced with ALL five scanline filters
+             (none/sub/up/average/paeth) — files from any standard encoder
+             decode correctly (RFC 2083 §6)
+  * "bmp"  — REAL 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
+             bottom-up, row padding) — interoperable both directions
   * "qimg" — deterministic fake lossy codec (6-bit uniform quantization +
              zlib); PSNR of the round-trip is ~46 dB, exercising the
              "PSNR >= 40 dB for lossy formats" invariant end-to-end
 
-A production deployment would swap `decode_image` for a real JPEG/WebP decode
-inside the same actor signature — the Ray-side plumbing (schema, batch size,
-actor pool, output layout) is real and tested.
+A production deployment would swap `decode_image`'s JPEG/WebP branch for a
+real library decode inside the same actor signature — the Ray-side plumbing
+(schema, batch size, actor pool, output layout) is real and tested.
 """
 
 from __future__ import annotations
@@ -46,28 +51,106 @@ def png_encode(pixels: np.ndarray) -> bytes:
 
 
 def png_decode(blob: bytes) -> np.ndarray:
+    """Spec-compliant decode of 8-bit RGB / RGBA non-interlaced PNGs with
+    ALL five scanline filter types (none/sub/up/average/paeth, RFC 2083
+    §6) — files from any standard encoder decode, not just our own
+    filter-0 output.  Per-row numpy unfiltering (vectorized across the
+    row; sub/paeth are inherently sequential along x and use a cumulative
+    formulation / tight per-pixel walk only on rows that need it)."""
     assert blob[:8] == _PNG_SIG, "not a PNG"
     off = 8
     w = h = None
+    channels = 3
     idat = b""
     while off < len(blob):
         (ln,) = struct.unpack_from(">I", blob, off)
         tag = blob[off + 4 : off + 8]
         payload = blob[off + 8 : off + 8 + ln]
         if tag == b"IHDR":
-            w, h, depth, color = struct.unpack_from(">IIBB", payload)
-            assert depth == 8 and color == 2, "only 8-bit RGB supported"
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload
+            )
+            assert depth == 8, "only 8-bit channels supported"
+            assert color in (2, 6), "only RGB / RGBA supported"
+            assert interlace == 0, "interlaced PNG not supported"
+            channels = 3 if color == 2 else 4
         elif tag == b"IDAT":
             idat += payload
         off += 12 + ln
-    raw = zlib.decompress(idat)
-    stride = 1 + 3 * w
-    rows = []
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    bpp = channels
+    stride = 1 + w * channels
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, w * channels), dtype=np.uint8)
     for y in range(h):
-        line = raw[y * stride : (y + 1) * stride]
-        assert line[0] == 0, "only filter 0 supported"
-        rows.append(np.frombuffer(line, np.uint8, offset=1))
-    return np.stack(rows).reshape(h, w, 3)
+        f = filters[y]
+        cur = raw[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(w * channels, np.int32)
+        if f == 0:  # None
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prior) & 0xFF
+        elif f == 1:  # Sub — cumulative along x per channel lane
+            lanes = cur.reshape(w, bpp)
+            line = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(-1) & 0xFF
+        elif f == 3:  # Average — sequential in x (left depends on output)
+            line = np.empty(w * channels, np.int32)
+            line[:bpp] = (cur[:bpp] + (prior[:bpp] >> 1)) & 0xFF
+            for i in range(bpp, w * channels):
+                line[i] = (cur[i] + ((line[i - bpp] + prior[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — sequential in x
+            line = np.empty(w * channels, np.int32)
+            for i in range(w * channels):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                line[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = line.astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Real 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB, bottom-up,
+    4-byte row padding) — interoperable with any image tool."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    if pad:
+        padded = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        padded[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        body = padded.tobytes()
+    else:
+        body = bgr.tobytes()
+    data_off = 14 + 40
+    return (
+        struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def bmp_decode(blob: bytes) -> np.ndarray:
+    assert blob[:2] == b"BM", "not a BMP"
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    assert bpp == 24 and comp == 0, "only 24-bit BI_RGB supported"
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(blob, np.uint8, count=h * stride, offset=data_off)
+    rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
 def qimg_encode(pixels: np.ndarray) -> bytes:
@@ -87,11 +170,15 @@ def qimg_decode(blob: bytes) -> np.ndarray:
 def decode_image(blob: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(blob)
+    if fmt == "bmp":
+        return bmp_decode(blob)
     if fmt == "qimg":
         return qimg_decode(blob)
     raise NotImplementedError(
-        f"codec {fmt!r}: real JPEG/WebP decode requires an image library not "
-        "present in this container; plug one in here"
+        f"codec {fmt!r}: JPEG/WebP decode requires DCT/VP8 machinery from an "
+        "image library not present in this container; plug one in here (png "
+        "and bmp are real spec-compliant codecs, qimg the deterministic "
+        "lossy stand-in)"
     )
 
 
