@@ -84,7 +84,14 @@ def backfill_temporal(
     lookback = (max(bounded) + max(hops)) if bounded else 0
 
     steps = day_partitions(start_ds, end_ds, step_days)
-    todo = set(mf.unfilled_partitions(output_dir, [s[0] for s in steps], cfg_hash))
+    todo = set(
+        mf.unfilled_partitions(
+            output_dir,
+            [s[0] for s in steps],
+            cfg_hash,
+            expected_ranges={label: [lo, hi] for label, lo, hi in steps},
+        )
+    )
     done = []
     for label, lo, hi in steps:
         if label not in todo:

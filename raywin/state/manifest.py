@@ -74,8 +74,21 @@ def is_complete(output_dir: str, partition: str, semantic_hash: str) -> bool:
     return m is not None and m.get("semantic_hash") == semantic_hash
 
 
-def unfilled_partitions(output_dir: str, partitions: list[str], semantic_hash: str) -> list[str]:
-    """Partitions still needing compute, archiving stale ones (config drift)."""
+def unfilled_partitions(
+    output_dir: str,
+    partitions: list[str],
+    semantic_hash: str,
+    expected_ranges: dict[str, list] | None = None,
+) -> list[str]:
+    """Partitions still needing compute, archiving stale ones (config drift).
+
+    expected_ranges: optional {partition: [lo_ms, hi_ms]} of the ts range
+    each step is PLANNED to cover this run.  A manifest whose recorded
+    inputs.ts_range differs is a truncated/shifted step from an earlier run
+    with different date bounds (e.g. a backfill first launched with an
+    earlier end date truncates its final step); its label looks complete but
+    its data is not — archive and recompute (the step-level analogue of the
+    reference's per-day unfilled-range computation, JoinBase.scala)."""
     todo = []
     for p in partitions:
         m = read_manifest(output_dir, p)
@@ -83,6 +96,14 @@ def unfilled_partitions(output_dir: str, partitions: list[str], semantic_hash: s
             todo.append(p)
         elif m.get("semantic_hash") != semantic_hash:
             archive_stale(output_dir, p, m.get("semantic_hash", "unknown"))
+            todo.append(p)
+        elif (
+            expected_ranges is not None
+            and p in expected_ranges
+            and m.get("inputs", {}).get("ts_range") is not None
+            and list(m["inputs"]["ts_range"]) != list(expected_ranges[p])
+        ):
+            archive_stale(output_dir, p, f"{m.get('semantic_hash', 'unknown')}_truncated")
             todo.append(p)
     return todo
 

@@ -121,3 +121,36 @@ def test_empty_partition_records_zero_row_manifest(ray_session, ev_table, tmp_pa
         step_days=2, num_buckets=4,
     )
     assert done2 == []
+
+
+def test_truncated_step_recomputed_on_extended_range(ray_session, ev_table, tmp_path):
+    """A backfill first launched with an end date that TRUNCATES its final
+    step must not poison a later full-range resume: the truncated step's
+    manifest records its actual ts_range, and the resume recomputes it
+    instead of silently skipping the missing tail days."""
+    import ray.data
+
+    out_dir = str(tmp_path / "trunc")
+    left_fn = lambda: ray.data.read_parquet(ev_table, columns=["k", "ts"])
+
+    # 2-day steps, but the first launch ends mid-step (02-01..02-03 covers
+    # one full step + a 1-day truncated second step with the same label)
+    first = backfill_temporal(
+        _gb(ev_table), left_fn, out_dir, "2024-02-01", "2024-02-03", step_days=2, num_buckets=4
+    )
+    assert [d[0] for d in first] == ["ds=2024-02-01", "ds=2024-02-03"]
+
+    # full range: the truncated ds=2024-02-03 step must be recomputed
+    resumed = backfill_temporal(
+        _gb(ev_table), left_fn, out_dir, "2024-02-01", "2024-02-06", step_days=2, num_buckets=4
+    )
+    assert "ds=2024-02-03" in [d[0] for d in resumed]
+    assert [d for d in os.listdir(out_dir) if "truncated" in d], "truncated step archived"
+
+    full = mf.load_output(out_dir).to_pandas()
+    from raywin.pipelines.group_by import features_for_queries
+
+    single = features_for_queries(
+        _gb(ev_table), left_fn(), num_buckets=4, dedupe_queries=True
+    ).to_pandas()
+    assert len(full) == len(single), "resume after truncation must lose no rows"
