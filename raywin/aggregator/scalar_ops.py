@@ -259,8 +259,12 @@ class Last(ScalarOp):
 class LastK(ScalarOp):
     """k most recent (ts, value); finalize -> values most-recent-first.
 
-    Ties broken by a sub-ts sequence number when provided via ts tuples.
-    """
+    Equal-ts ties follow Last's convention: the LATER-processed row is the
+    more recent one.  The IR is kept ts-ASCENDING with a stable sort (ties
+    keep processing order, update appends after, merge places ir1=older
+    before ir2=newer — the engines' merge convention), so "last k" is the
+    tail slice and finalize reverses — exactly the kernel position engine's
+    vals[r-k:r] reversed, keeping last1 == LAST on ties."""
 
     timed = True
 
@@ -272,16 +276,17 @@ class LastK(ScalarOp):
 
     def update(self, ir, v, ts=None):
         ir.append((ts, v))
-        ir.sort(key=lambda t: t[0], reverse=True)
-        del ir[self.k :]
+        ir.sort(key=lambda t: t[0])
+        if len(ir) > self.k:
+            del ir[: len(ir) - self.k]
         return ir
 
     def merge(self, ir1, ir2):
-        out = sorted(ir1 + ir2, key=lambda t: t[0], reverse=True)
-        return out[: self.k]
+        out = sorted(ir1 + ir2, key=lambda t: t[0])
+        return out[len(out) - self.k :] if len(out) > self.k else out
 
     def finalize(self, ir):
-        return [v for _, v in ir]
+        return [v for _, v in reversed(ir)]
 
 
 class FirstK(ScalarOp):
