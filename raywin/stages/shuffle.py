@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 BUCKET_COL = "__bucket"
 SIDE_COL = "__side"
 
-from ray.data.aggregate import Max as _TsMax, Min as _TsMin  # noqa: E402
+from ray.data.aggregate import Max as _TsMax, Min as _TsMin, Sum as _CntSum  # noqa: E402
 
 
 def stable_hash(columns: list[np.ndarray]) -> np.ndarray:
@@ -150,16 +150,88 @@ class HotKeyConfig:
 def detect_hot_keys(
     ds,
     key_col: str,
+    hot_fraction: float = 0.02,
+    n_chunks: int = 8,
+) -> HotKeyConfig:
+    """Distributed heavy-hitter scan (the reference Analyzer's FrequentItems
+    analogue, spark/.../Analyzer.scala:116-190).
+
+    One projected pass over (key, ts): each block emits per-key count
+    partials plus its local ts range, so the exchange moves at most
+    distinct-keys-per-block rows per block and NOTHING is ever materialized
+    on the driver.  The partial table is combined with a groupby(key).sum;
+    only keys holding > hot_fraction of total rows come back — bounded by
+    1/hot_fraction rows regardless of input scale.  Exact counts, unlike the
+    retired sampled detector (kept as _detect_hot_keys_sampled for the
+    agreement test)."""
+    key_type = [None]
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    key_col: keys.slice(0, 0),
+                    "cnt": pa.array([], pa.int64()),
+                    "ts_lo": pa.array([], pa.int64()),
+                    "ts_hi": pa.array([], pa.int64()),
+                }
+            )
+        vc = pc.value_counts(keys)
+        n = len(vc)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+                "ts_lo": pa.array(np.full(n, int(ts.min()), dtype=np.int64)),
+                "ts_hi": pa.array(np.full(n, int(ts.max()), dtype=np.int64)),
+            }
+        )
+
+    parts = (
+        ds.select_columns([key_col, "ts"])
+        .map_batches(_partials, batch_format="pyarrow")
+        .materialize()  # compact (distinct keys per block); reused twice below
+    )
+    tot = parts.aggregate(_CntSum("cnt"), _TsMin("ts_lo"), _TsMax("ts_hi"))
+    if not tot or tot.get("sum(cnt)") in (None, 0):
+        return HotKeyConfig(set(), 1, 0)
+    total = int(tot["sum(cnt)"])
+    thresh = hot_fraction * total
+    hot_rows = (
+        parts.groupby(key_col)
+        .aggregate(_CntSum("cnt"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater(pc.cast(b["sum(cnt)"], pa.float64()), thresh)
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()  # bounded: at most 1/hot_fraction keys can exceed thresh
+    )
+    hot = {r[key_col] for r in hot_rows}
+    if not hot:
+        return HotKeyConfig(set(), 1, 0)
+    ts_min, ts_max = int(tot["min(ts_lo)"]), int(tot["max(ts_hi)"])
+    chunk_ms = max(1, (ts_max - ts_min) // n_chunks + 1)
+    return HotKeyConfig(hot, chunk_ms, ts_max + chunk_ms)
+
+
+def _detect_hot_keys_sampled(
+    ds,
+    key_col: str,
     sample_fraction: float = 0.05,
     hot_fraction: float = 0.02,
     n_chunks: int = 8,
     seed: int = 7,
 ) -> HotKeyConfig:
-    """Sampled heavy-hitter scan (the reference Analyzer's FrequentItems
-    analogue, spark/.../Analyzer.scala:116-190): one cheap pass over
-    (key, ts) columns; keys holding > hot_fraction of sampled rows are hot.
-    Returns a HotKeyConfig whose chunk span divides the observed ts range
-    into n_chunks."""
+    """RETIRED sampled detector (driver-side pandas sample) — kept only so
+    tests can assert the distributed detector agrees with it.  Do not call
+    from pipelines: the sample materializes on the driver and cannot run at
+    the 100-TB target."""
     sample = (
         ds.select_columns([key_col, "ts"])
         .random_sample(sample_fraction, seed=seed)
@@ -171,8 +243,6 @@ def detect_hot_keys(
     hot = set(counts[counts > hot_fraction].index)
     if not hot:
         return HotKeyConfig(set(), 1, 0)
-    # exact ts range via a cheap single-column scan — a sampled max would
-    # strand later-than-sample queries in chunks with no replicated events
     mm = ds.select_columns(["ts"]).aggregate(_TsMin("ts"), _TsMax("ts"))
     ts_min, ts_max = int(mm["min(ts)"]), int(mm["max(ts)"])
     chunk_ms = max(1, (ts_max - ts_min) // n_chunks + 1)

@@ -129,3 +129,40 @@ def test_split_unbounded_backfill_invisible(ray_session, tmp_path):
         else:
             rtol = 0.02 if "approx" in col else 1e-9
             pd.testing.assert_series_equal(bv, sv, rtol=rtol, atol=1e-12, check_exact=False)
+
+
+def test_distributed_detector_agrees_with_sampled(ray_session, hot_table):
+    """The distributed (exact, per-block partial count) detector must find
+    the same hot set and chunk geometry as the retired driver-sample one."""
+    import ray.data
+
+    from raywin.stages.shuffle import _detect_hot_keys_sampled, detect_hot_keys
+
+    ds = ray.data.read_parquet(hot_table, columns=["k", "ts"])
+    dist = detect_hot_keys(ds, "k")
+    samp = _detect_hot_keys_sampled(ds, "k")
+    assert dist.keys == samp.keys == {"hot"}
+    assert dist.chunk_ms == samp.chunk_ms
+    assert dist.max_chunk == samp.max_chunk
+
+
+def test_distributed_detector_no_hot_keys(ray_session, tmp_path):
+    """Uniform keys → empty HotKeyConfig (and no crash on the empty path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from raywin.stages.shuffle import detect_hot_keys
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 1000, n).astype(str).astype(object)),
+            "ts": pa.array(BASE + rng.integers(0, DAY, n)),
+        }
+    )
+    path = str(tmp_path / "uniform.parquet")
+    pq.write_table(t, path)
+    cfg = detect_hot_keys(ray.data.read_parquet(path), "k")
+    assert not cfg and cfg.keys == set()
