@@ -85,6 +85,93 @@ class SawtoothOnlineAggregator:
             out[part.output_column] = None if acc is None else op.finalize(acc)
         return out
 
+    def _merged_base(self, op, entry, lo):
+        """collapsed ⊕ in-window tiles for one part at one lo hop — the
+        expensive deep-copy-and-merge, paid once per (key, part, lo) instead
+        of once per query row (the prefix-fold-cache idea from the offline
+        kernel, kernel.py:1242-1296, applied to the serving lambda)."""
+        if entry is None:
+            return None
+        acc = copy.deepcopy(entry["c"]) if entry["c"] is not None else None
+        for start, ir in entry["t"]:
+            if ir is None or (lo is not None and start < lo):
+                continue
+            piece = copy.deepcopy(ir)
+            acc = piece if acc is None else op.merge(acc, piece)
+        return acc
+
+    def lambda_aggregate_many(self, batch_ir: dict | None, stream_ts, stream_rows,
+                              query_ts) -> dict:
+        """Vectorized lambda_aggregate over MANY query timestamps of one key.
+
+        Bitwise-identical to calling lambda_aggregate per row, but:
+        window bounds are searchsorted in one shot per part; the
+        collapsed+tiles merge is built once per distinct lo hop (queries
+        quantize to few hops); and within a hop group, queries sorted by ts
+        share ONE incremental event fold — each event is folded once per hop
+        group, not once per query (the offline kernel's prefix-engine shape).
+        Returns {output_column: list aligned with query_ts order}."""
+        qts = np.asarray(query_ts, dtype=np.int64)
+        n = len(qts)
+        have_stream = stream_ts is not None and len(stream_ts) > 0
+        out: dict = {}
+        for part, op in zip(self.parts, self.ops):
+            res: list = [None] * n
+            vals = stream_rows.get(part.input_column) if have_stream else None
+            if part.window.unbounded:
+                lo_arr = None
+                i0 = np.zeros(n, dtype=np.int64)
+                if have_stream:
+                    i0[:] = np.searchsorted(stream_ts, self.batch_end_ts, side="left")
+            else:
+                hop = self.resolution.tail_hop(part.window)
+                lo_arr = round_down(qts - part.window.millis, hop)
+                if have_stream:
+                    s_lo = np.maximum(lo_arr, self.batch_end_ts)
+                    i0 = np.searchsorted(stream_ts, s_lo, side="left")
+            if have_stream:
+                i1 = np.searchsorted(stream_ts, qts, side="left")
+            # group queries by lo (one merged base per group), ts-ascending
+            # within a group so the event fold advances monotonically
+            order = (
+                np.argsort(qts, kind="stable")
+                if lo_arr is None
+                else np.lexsort((qts, lo_arr))
+            )
+            pos = 0
+            while pos < n:
+                gend = pos
+                if lo_arr is None:
+                    gend = n
+                else:
+                    g_lo = lo_arr[order[pos]]
+                    while gend < n and lo_arr[order[gend]] == g_lo:
+                        gend += 1
+                lo = None if lo_arr is None else int(lo_arr[order[pos]])
+                entry = None if batch_ir is None else batch_ir.get(part.output_column)
+                acc = self._merged_base(op, entry, lo)
+                j = int(i0[order[pos]]) if have_stream else 0
+                for oi in order[pos:gend]:
+                    if vals is not None:
+                        target = int(i1[oi])
+                        while j < target:
+                            v = vals[j]
+                            t = int(stream_ts[j])
+                            j += 1
+                            if v is None or (isinstance(v, float) and v != v):
+                                continue
+                            acc = op.prepare(v, t) if acc is None else op.update(acc, v, t)
+                    if acc is None:
+                        res[oi] = None
+                    else:
+                        r = op.finalize(acc)
+                        if r is acc:  # finalize aliases the live IR (Sum/TopK/…)
+                            r = copy.copy(r)
+                        res[oi] = r
+                pos = gend
+            out[part.output_column] = res
+        return out
+
 
 class Fetcher:
     """Per-key batch IRs + streaming state, answering point-in-time fetches.
@@ -209,19 +296,21 @@ class ServingKernel:
                 )
         out = queries.copy()
         feat_cols: dict[str, list] = {c: [None] * len(queries) for c in out_cols}
-        ir_cache: dict = {}
         for key, sub in queries.groupby(self.key_cols, sort=False):
             key = key if isinstance(key, tuple) else (key,)
-            ir = ir_cache.get(key)
-            if ir is None:
-                blob = blobs.get(key)
-                ir = None if blob is None else pickle.loads(blob)
-                ir_cache[key] = ir
+            blob = blobs.get(key)
+            ir = None if blob is None else pickle.loads(blob)
             ts_arr, rows = tails.get(key, (None, None))
-            for i, q_ts in zip(sub.index, sub["ts"].to_numpy()):
-                feats = self.agg.lambda_aggregate(ir, ts_arr, rows, int(q_ts))
-                for c in out_cols:
-                    feat_cols[c][i] = feats[c]
+            # all of the key's queries in one vectorized call: searchsorted
+            # bounds, per-hop memoized IR bases, shared incremental event fold
+            feats = self.agg.lambda_aggregate_many(
+                ir, ts_arr, rows, sub["ts"].to_numpy(dtype=np.int64)
+            )
+            idx = sub.index.to_numpy()
+            for c in out_cols:
+                col, vals = feat_cols[c], feats[c]
+                for i, v in zip(idx, vals):
+                    col[i] = v
         for c in out_cols:
             out[c] = feat_cols[c]
         return out

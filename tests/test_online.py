@@ -247,3 +247,39 @@ def test_online_enrich_distributed(ray_session, online_fixture):
     # pandas upcasts None -> nan in float columns; normalize for _check
     got = [{c: (None if isinstance(v, float) and v != v else v) for c, v in r.items()} for r in got]
     _check(got, _expected(df, gb, qdf), gb.agg_parts())
+
+
+def test_lambda_aggregate_many_bitwise(ray_session, online_fixture):
+    """lambda_aggregate_many (hop-memoized bases + shared incremental event
+    fold) must be bitwise-identical to per-row lambda_aggregate across every
+    op, key, and window shape — including empty windows, pre-window queries,
+    unbounded parts, and keys with no batch IR / no tail."""
+    import pickle
+
+    df, path, gb = online_fixture
+    upload = group_by_upload(gb, BATCH_END, num_buckets=8)
+    blob_map = load_upload(upload, ["k"])
+    agg = Fetcher(gb, BATCH_END, upload=blob_map).agg
+    in_cols = {p.input_column for p in agg.parts}
+    tail = df[df["ts"] >= BATCH_END].sort_values("ts", kind="stable")
+    rng = np.random.default_rng(17)
+    for key in list(blob_map)[:4] + [("no_such_key",)]:
+        k = key[0]
+        sub = tail[tail["k"] == k]
+        ts_arr = sub["ts"].to_numpy(dtype=np.int64)
+        rows = {c: sub[c].to_numpy() for c in in_cols if c in sub.columns}
+        blob = blob_map.get(key)
+        ir = None if blob is None else pickle.loads(blob)
+        # 200 query points: dense inside the servable day, a few before the
+        # seam (empty stream windows) and far future (all tiles expired)
+        qts = np.concatenate([
+            BATCH_END + rng.integers(1, DAY, 180),
+            [BATCH_END - HOUR, BATCH_END, BATCH_END + 40 * DAY],
+            BATCH_END + rng.integers(1, DAY, 17),
+        ]).astype(np.int64)
+        many = agg.lambda_aggregate_many(ir, ts_arr, rows, qts)
+        for i, q in enumerate(qts):
+            one = agg.lambda_aggregate(ir, ts_arr, rows, int(q))
+            for p in agg.parts:
+                assert many[p.output_column][i] == one[p.output_column], (
+                    k, int(q), p.output_column)
