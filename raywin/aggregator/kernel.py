@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..api import AggregationPart, Operation
 from .scalar_ops import ScalarOp, make_scalar_op
@@ -136,6 +137,131 @@ def factorize_multi(columns_list: list[list[np.ndarray]]) -> tuple[list[np.ndarr
         out.append(joint[off : off + ln].astype(np.int64))
         off += ln
     return out, n_entities
+
+
+class _PandasFrame:
+    """Minimal column-access facade over a pandas DataFrame (test /
+    compatibility path of PartitionAggregator)."""
+
+    __slots__ = ("df",)
+
+    def __init__(self, df: pd.DataFrame):
+        self.df = df
+
+    def __len__(self):
+        return len(self.df)
+
+    @property
+    def names(self):
+        return list(self.df.columns)
+
+    def np_col(self, name: str) -> np.ndarray:
+        return self.df[name].to_numpy()
+
+    def take(self, order: np.ndarray) -> "_PandasFrame":
+        return _PandasFrame(self.df.iloc[order].reset_index(drop=True))
+
+
+class _ArrowFrame:
+    """Lazy column-access facade over a pyarrow Table — the kernel hot path.
+
+    Numeric columns convert zero-copy (or near) to numpy; string / list
+    columns convert to object arrays ONLY when an aggregation part actually
+    touches them; map columns go through the per-column pandas conversion
+    (``maps_as_pydicts``) so cells reach the kernel as dicts.  Passthrough
+    columns (the left side's payload) are never converted at all — the caller
+    reorders the original Arrow table with ``Table.take``.  Replaces the old
+    whole-table ``to_pandas(maps_as_pydicts="strict")`` that boxed every
+    string and list cell per co-partitioned group."""
+
+    __slots__ = ("table", "_order", "_cache")
+
+    def __init__(self, table: pa.Table, order: np.ndarray | None = None):
+        self.table = table
+        self._order = order  # lazy take: applied per requested column
+        self._cache: dict[str, np.ndarray] = {}
+
+    def __len__(self):
+        return self.table.num_rows if self._order is None else len(self._order)
+
+    @property
+    def names(self):
+        return self.table.column_names
+
+    def np_col(self, name: str) -> np.ndarray:
+        if name not in self._cache:
+            col = self.table.column(name)
+            if self._order is not None:
+                col = col.take(self._order)
+            t = col.type
+            if pa.types.is_map(t):
+                arr = col.to_pandas(maps_as_pydicts="strict").to_numpy()
+            else:
+                arr = col.to_numpy(zero_copy_only=False)
+            self._cache[name] = arr
+        return self._cache[name]
+
+    def take(self, order: np.ndarray) -> "_ArrowFrame":
+        if self._order is not None:
+            order = np.asarray(self._order)[order]
+        return _ArrowFrame(self.table, order)
+
+
+def _factorize_frames(evf, qf, key_cols: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Joint entity codes for (events, queries) key tuples.
+
+    Arrow fast path: per-column ``dictionary_encode`` over the concatenated
+    native buffers — no per-cell Python boxing (encounter-order codes match
+    ``pd.factorize(use_na_sentinel=False)`` exactly when the column has no
+    nulls, so sort orders and outputs are bitwise-unchanged vs the pandas
+    path).  Null-bearing key columns fall back to the object path."""
+    if isinstance(evf, _ArrowFrame) and isinstance(qf, _ArrowFrame):
+        import pyarrow.compute as pc
+
+        n_ev, n_q = len(evf), len(qf)
+        combined_codes: list[np.ndarray] = []
+        ok = True
+        for c in key_cols:
+            ev_col = evf.table.column(c)
+            q_col = qf.table.column(c)
+            if evf._order is not None:
+                ev_col = ev_col.take(evf._order)
+            if qf._order is not None:
+                q_col = q_col.take(qf._order)
+            if ev_col.null_count or q_col.null_count:
+                ok = False
+                break
+            try:
+                concat = pa.chunked_array(
+                    list(ev_col.chunks) + list(q_col.chunks)
+                ).combine_chunks()
+                codes = pc.dictionary_encode(concat).indices.to_numpy(
+                    zero_copy_only=False
+                )
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                ok = False
+                break
+            combined_codes.append(codes.astype(np.int64))
+        if ok:
+            if len(combined_codes) == 1:
+                joint = combined_codes[0]
+            else:
+                mixed = combined_codes[0]
+                for ci in range(1, len(combined_codes)):
+                    card = (
+                        combined_codes[ci].max() + 1 if len(combined_codes[ci]) else 1
+                    )
+                    mixed = mixed * np.int64(card) + combined_codes[ci]
+                joint, _ = pd.factorize(mixed)
+                joint = joint.astype(np.int64)
+            return joint[:n_ev], joint[n_ev:]
+    (ev_ent, q_ent), _ = factorize_multi(
+        [
+            [evf.np_col(c) for c in key_cols],
+            [qf.np_col(c) for c in key_cols],
+        ]
+    )
+    return ev_ent, q_ent
 
 
 class _Column:
@@ -698,17 +824,28 @@ class PartitionAggregator:
     def aggregate(self, events: pd.DataFrame, queries: pd.DataFrame) -> pd.DataFrame:
         """events: key_cols + ts + inputs; queries: key_cols + ts + passthrough.
         Returns queries (re-ordered by (entity, ts)) + one column per part."""
-        (ev_ent, q_ent), _ = factorize_multi(
-            [
-                [events[c].to_numpy() for c in self.key_cols],
-                [queries[c].to_numpy() for c in self.key_cols],
-            ]
-        )
-        ev_ts = events["ts"].to_numpy().astype(np.int64)
-        q_ts = queries["ts"].to_numpy().astype(np.int64)
+        q_order, results = self._core(_PandasFrame(events), _PandasFrame(queries))
+        out = queries.iloc[q_order].reset_index(drop=True)
+        for part in self.parts:
+            out[part.output_column] = results[part.output_column]
+        return out
 
-        if self.tie_breaker and self.tie_breaker in events.columns:
-            tie = events[self.tie_breaker].to_numpy()
+    def aggregate_tables(
+        self, events: pa.Table, queries: pa.Table
+    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """Arrow-native path: returns (q_order, per-part result arrays).
+
+        The caller reorders the queries table with ``queries.take(q_order)``
+        — passthrough columns never leave Arrow."""
+        return self._core(_ArrowFrame(events), _ArrowFrame(queries))
+
+    def _core(self, evf, qf) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        ev_ent, q_ent = _factorize_frames(evf, qf, self.key_cols)
+        ev_ts = evf.np_col("ts").astype(np.int64)
+        q_ts = qf.np_col("ts").astype(np.int64)
+
+        if self.tie_breaker and self.tie_breaker in evf.names:
+            tie = evf.np_col(self.tie_breaker)
             ev_order = np.lexsort((tie, ev_ts, ev_ent))
         else:
             ev_order = np.lexsort((ev_ts, ev_ent))
@@ -723,8 +860,7 @@ class PartitionAggregator:
             keep[1:] = (np.diff(q_ent_s) != 0) | (np.diff(q_ts_s) != 0)
             q_order = q_order[keep]
             q_ent_s, q_ts_s = q_ent_s[keep], q_ts_s[keep]
-        events_s = events.iloc[ev_order].reset_index(drop=True)
-        out = queries.iloc[q_order].reset_index(drop=True)
+        events_s = evf.take(ev_order)
 
         n = len(ev_ts_s)
         if n:
@@ -768,18 +904,21 @@ class PartitionAggregator:
 
         def get_col(name: str) -> _Column:
             if name not in cols:
-                cols[name] = _Column(events_s[name] if n else pd.Series([], dtype=object), ev_ts_s)
+                cols[name] = _Column(
+                    events_s.np_col(name) if n else np.array([], dtype=object), ev_ts_s
+                )
             return cols[name]
 
+        results: dict[str, np.ndarray] = {}
         for part in self.parts:
-            out[part.output_column] = self._eval_part(
-                part, events_s, ev_ts_s, ev_ent_s, get_col, get_bounds, segtrees, len(q_ts_s)
+            results[part.output_column] = self._eval_part(
+                part, ev_ts_s, ev_ent_s, get_col, get_bounds, segtrees, len(q_ts_s)
             )
-        return out
+        return q_order, results
 
     # -- engines ----------------------------------------------------------
 
-    def _eval_part(self, part, events_s, ev_ts_s, ev_ent_s, get_col, get_bounds, segtrees, nq):
+    def _eval_part(self, part, ev_ts_s, ev_ent_s, get_col, get_bounds, segtrees, nq):
         if len(ev_ts_s) == 0:
             return np.full(nq, None, dtype=object) if nq else np.array([], dtype=object)
         op = part.operation

@@ -184,24 +184,29 @@ class PartitionKernel:
             n for n in group.column_names if n not in (BUCKET_COL, SIDE_COL) and n not in left_names
         ] + self.key_cols + ["ts"]
         rt = group.filter(pa.array(~is_left)).select(list(dict.fromkeys(rt_names)))
-        # maps_as_pydicts: map<k,v> cells must reach the kernel as dicts (the
-        # MapColumnOp IR shape), not arrow's default list-of-tuples
-        queries = lt.to_pandas(maps_as_pydicts="strict")
-        events = rt.to_pandas(maps_as_pydicts="strict")
-        if len(queries) == 0:
+        out_schema = pa.schema(list(self.left_schema) + self.out_fields)
+        if lt.num_rows == 0:
             return pa.Table.from_arrays(
-                [pa.nulls(0, f.type) for f in self.left_schema] + [pa.nulls(0, f.type) for f in self.out_fields],
-                schema=pa.schema(list(self.left_schema) + self.out_fields),
+                [pa.nulls(0, f.type) for f in out_schema], schema=out_schema
             )
-        out = self.agg.aggregate(events, queries)
+        # Arrow-native kernel ingestion: only the columns the kernel actually
+        # touches (keys, ts, aggregation inputs) convert to numpy — map
+        # columns via per-column maps_as_pydicts — and the query passthrough
+        # payload is reordered with Table.take, never boxed through pandas.
+        q_order, results = self.agg.aggregate_tables(rt, lt)
+        taken = lt.take(q_order)
         cols = []
         for f in self.left_schema:
-            # null-aware: passthrough int/list feature columns from a chained
-            # upstream part arrive as pandas NaN-holding floats/objects
-            cols.append(_to_arrow_column(out[f.name].to_numpy(), f.type))
+            c = taken.column(f.name)
+            if c.type != f.type:
+                try:
+                    c = c.cast(f.type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    c = _to_arrow_column(c.to_numpy(zero_copy_only=False), f.type)
+            cols.append(c)
         for f, part in zip(self.out_fields, self.parts):
-            cols.append(_to_arrow_column(out[part.output_column].to_numpy(), f.type))
-        return pa.Table.from_arrays(cols, schema=pa.schema(list(self.left_schema) + self.out_fields))
+            cols.append(_to_arrow_column(results[part.output_column], f.type))
+        return pa.table(cols, schema=out_schema)
 
 
 def _arrow_schema(ds) -> pa.Schema:

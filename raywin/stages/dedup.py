@@ -279,12 +279,19 @@ def dedup_paragraphs(ds, text_col: str, id_col: str, sep: str = "\n\n",
     its first occurrence corpus-wide (ordered by (doc, position)); documents
     are reassembled from their surviving paragraphs.
 
-    Scale shape: two co-partition shuffles over (doc, idx, para) rows —
-    first hashed by paragraph content (global winner per paragraph), then by
-    doc (ordered reassembly).  Returns (id, clean_text, n_paras, n_dropped);
-    a document whose every paragraph lost survives as an empty string, so
-    row count is preserved."""
-    from ..stages.shuffle import BUCKET_COL, AddBucket
+    Scale shape: paragraph TEXT rides exactly ONE shuffle (the per-doc
+    rebuild exchange).  The corpus-wide winner election ships only compact
+    (id, idx, hash64, len) rows keyed by the paragraph hash, and only the
+    LOSING (id, idx) pairs — typically a small fraction of the corpus —
+    return through the rebuild exchange.  Collision posture: a false drop
+    needs two distinct paragraphs with equal 64-bit Horner hash AND equal
+    character length; expected false drops ≈ same-length-pairs / 2**64 —
+    negligible at 10^12 paragraphs (duplicate_span_stats takes the same
+    stance).  Returns (id, clean_text, n_paras, n_dropped); a document whose
+    every paragraph lost survives as an empty string, so row count is
+    preserved."""
+    from ..functions.texthash import horner_texts, to_signed
+    from ..stages.shuffle import BUCKET_COL, SIDE_COL, AddBucket
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[text_col].fillna("")
@@ -294,38 +301,73 @@ def dedup_paragraphs(ds, text_col: str, id_col: str, sep: str = "\n\n",
         off = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=off[1:])
         idx = np.arange(total, dtype=np.int64) - np.repeat(off, counts)
+        flat = paras.explode()
         return pd.DataFrame(
             {
                 id_col: np.repeat(batch[id_col].to_numpy(), counts),
                 "idx": idx,
-                "para": paras.explode().to_numpy(),
+                "para": flat.to_numpy(),
+                "h": to_signed(horner_texts(flat.tolist())),
+                "plen": flat.str.len().to_numpy(dtype=np.int64),
             }
         )
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.reset_index(drop=True)  # unique positional index before isin
-        first = g.sort_values([id_col, "idx"], kind="stable").drop_duplicates("para")
-        g["keep"] = g.index.isin(first.index)
-        return g[[id_col, "idx", "para", "keep"]]
+    def mark_losers(g: pd.DataFrame) -> pd.DataFrame:
+        # winner per (hash, len) = corpus-wide min (doc, position); all
+        # same-hash rows co-partition here, so bucket-local first IS global
+        g = g.sort_values([id_col, "idx"], kind="stable")
+        lose = g.duplicated(["h", "plen"], keep="first")
+        return g.loc[lose, [id_col, "idx"]]
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        kept = g[g["keep"]].sort_values("idx", kind="stable")
+        texts = g[g[SIDE_COL] == 0]
+        losers = g[g[SIDE_COL] == 1]
+        keep = ~pd.MultiIndex.from_frame(texts[[id_col, "idx"]]).isin(
+            pd.MultiIndex.from_frame(losers[[id_col, "idx"]])
+        )
+        kept = texts[keep].sort_values("idx", kind="stable")
         agg = kept.groupby(id_col, sort=False)["para"].agg(sep.join)
-        stats = g.groupby(id_col, sort=False)["keep"].agg(["size", "sum"])
-        out = stats.reset_index().rename(columns={"size": "n_paras"})
-        out["n_dropped"] = (out.pop("sum").rsub(out["n_paras"])).astype("int64")
+        out = texts.groupby(id_col, sort=False).size().rename("n_paras").reset_index()
+        kept_n = kept.groupby(id_col, sort=False).size()
+        out["n_dropped"] = (
+            out["n_paras"] - out[id_col].map(kept_n).fillna(0)
+        ).astype("int64")
         out["n_paras"] = out["n_paras"].astype("int64")
         out["clean_text"] = out[id_col].map(agg).fillna("")
         return out[[id_col, "n_paras", "n_dropped", "clean_text"]]
 
     rows = ds.map_batches(explode, batch_format="pandas")
-    marked = (
-        rows.map_batches(AddBucket(["para"], num_buckets), batch_format="pyarrow")
+    # shuffle 1 (compact): (id, idx, h, plen) keyed by hash -> losing pairs
+    losers = (
+        rows.map_batches(
+            lambda b: b.select([id_col, "idx", "h", "plen"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(AddBucket(["h"], num_buckets), batch_format="pyarrow")
         .groupby(BUCKET_COL)
-        .map_groups(mark, batch_format="pandas")
+        .map_groups(mark_losers, batch_format="pandas")
+    )
+
+    def tag_text(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, "idx", "para"])
+        return t.append_column(SIDE_COL, pa.array(np.zeros(len(t), dtype=np.int8)))
+
+    def tag_loser(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "idx": b["idx"],
+                "para": pa.nulls(len(b), pa.string()),
+                SIDE_COL: pa.array(np.ones(len(b), dtype=np.int8)),
+            }
+        )
+
+    # shuffle 2: text rows + losing marks co-partition by doc id
+    unioned = rows.map_batches(tag_text, batch_format="pyarrow").union(
+        losers.map_batches(tag_loser, batch_format="pyarrow")
     )
     return (
-        marked.map_batches(AddBucket([id_col], num_buckets), batch_format="pyarrow")
+        unioned.map_batches(AddBucket([id_col], num_buckets), batch_format="pyarrow")
         .groupby(BUCKET_COL)
         .map_groups(rebuild, batch_format="pandas")
     )

@@ -161,3 +161,49 @@ def test_window_tail_rounding():
     parts = Aggregation(Operation.SUM, "value", windows=[Window(1, TimeUnit.DAYS)]).unpack()
     out = PartitionAggregator(["user"], parts, FiveMinuteResolution).aggregate(ev, q)
     assert out["value_sum_1d"].tolist() == [5.0]  # ev_ts-1 is outside the rounded tail
+
+
+def test_arrow_tables_path_matches_pandas_path():
+    """aggregate_tables (Arrow-native ingestion: dictionary_encode key
+    factorization, lazy per-column numpy, Table.take reorder) must be
+    bitwise-identical to the pandas aggregate() path, including null keys
+    (which route the factorization through the object fallback) and
+    string/list passthrough payload."""
+    import pyarrow as pa
+
+    from raywin.pipelines.group_by import _to_arrow_column, output_type
+
+    ev, q = gen_data(seed=11, n_events=3000, n_queries=500)
+    q = q.copy()
+    q["url"] = [f"u/{i % 37}" for i in range(len(q))]
+    q["emb"] = [[float(i % 5), float(i % 3)] for i in range(len(q))]
+    parts = []
+    for agg_spec in [
+        Aggregation(Operation.SUM, "value", windows=[Window(7, TimeUnit.DAYS)]),
+        Aggregation(Operation.AVERAGE, "qty", windows=[Window(-1)]),
+        Aggregation(Operation.LAST, "tag", windows=[Window(30, TimeUnit.DAYS)]),
+        Aggregation(Operation.COUNT, "qty", windows=[Window(1, TimeUnit.DAYS)]),
+    ]:
+        parts.extend(agg_spec.unpack())
+    for with_null_key in (False, True):
+        ev_c, q_c = ev.copy(), q.copy()
+        if with_null_key:
+            ev_c.loc[ev_c.index[:5], "user"] = None
+            q_c.loc[q_c.index[:3], "user"] = None
+        agg = PartitionAggregator(["user"], parts, FiveMinuteResolution, tie_breaker="seq")
+        out_pd = agg.aggregate(ev_c, q_c)
+        rt = pa.Table.from_pandas(ev_c, preserve_index=False)
+        lt = pa.Table.from_pandas(
+            q_c[["user", "ts", "url", "emb"]], preserve_index=False
+        )
+        q_order, results = agg.aggregate_tables(rt, lt)
+        taken = lt.take(q_order)
+        input_types = {"value": pa.float64(), "qty": pa.int64(), "tag": pa.string()}
+        assert list(taken.column("ts").to_numpy()) == out_pd["ts"].tolist()
+        assert list(taken.column("url").to_pylist()) == out_pd["url"].tolist()
+        for p in parts:
+            got = _to_arrow_column(results[p.output_column], output_type(p, input_types[p.input_column]))
+            want = _to_arrow_column(
+                out_pd[p.output_column].to_numpy(), output_type(p, input_types[p.input_column])
+            )
+            assert got.equals(want), p.output_column
