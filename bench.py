@@ -34,18 +34,18 @@ RUN_SCALE = os.environ.get("RAYWIN_BENCH_SCALE", "1") != "0"
 
 
 def ensure_bench_images():
-    from raywin.stages.images import generate_image_events
-
-    from raywin.stages.images import cache_is_current
+    from raywin.stages.images import (
+        FORMATS_MIXED, cache_is_current, generate_image_events,
+    )
 
     marker = os.path.join(BENCH_IMG_DIR, "part-0015.parquet")
-    if not (os.path.exists(marker) and cache_is_current(BENCH_IMG_DIR)):
+    if not (os.path.exists(marker) and cache_is_current(BENCH_IMG_DIR, FORMATS_MIXED)):
         import shutil
 
         shutil.rmtree(BENCH_IMG_DIR, ignore_errors=True)
         generate_image_events(
             BENCH_IMG_DIR, n_rows=BENCH_IMG_ROWS, n_entities=BENCH_IMG_ROWS // 40,
-            files=16, skew=1.2,
+            files=16, skew=1.2, formats=FORMATS_MIXED,
         )
     return BENCH_IMG_DIR
 
@@ -58,6 +58,9 @@ def ensure_scale_images():
         import shutil
 
         shutil.rmtree(SCALE_IMG_DIR, ignore_errors=True)
+        # 10M leg stays png/qimg (legacy mix): it measures shuffle/kernel
+        # scale, keeps the cached table valid, and stays comparable to the
+        # round-2/3 recorded numbers; the sf leg above covers JPEG decode
         generate_image_events(
             SCALE_IMG_DIR, n_rows=SCALE_IMG_ROWS, n_entities=SCALE_IMG_ROWS // 40,
             files=64, skew=1.2, span_days=365,
@@ -79,22 +82,26 @@ def run_benchmarks():
     ctx.enable_progress_bars = False
 
     from raywin.pipelines import catalog
-    from raywin.pipelines.images import image_feature_backfill
+    from raywin.pipelines.images import image_feature_backfill, image_serving_lambda
 
     img_dir = ensure_bench_images()
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
 
     def timed(name, fn, repeats=2):
         # min-of-N: sandbox wall times carry ±40% one-sided slowdown noise
         # (page faults, noisy neighbors); min estimates the steady-state cost
-        # a long-lived backfill actually pays per partition
+        # a long-lived backfill actually pays per partition; every individual
+        # run is recorded in "runs" so the spread is visible round-over-round
         best, n = None, 0
+        runs = all_runs[name] = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             n = fn()
             dt = time.perf_counter() - t0
+            runs.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         return n
@@ -153,6 +160,22 @@ def run_benchmarks():
     timed("q1_pricing_summary", lambda: catalog.q1_pricing_summary(SF_DIR).count(), repeats=3)
     timed("minhash_clusters", lambda: catalog.minhash_clusters_docs(SF_DIR).count(), repeats=3)
     timed("ann_cosine_topk", lambda: catalog.ann_cosine_topk(SF_DIR).count(), repeats=3)
+    # serving lambda (distributed co-partition path) at two tail scales:
+    # the sf events table (100k tail rows at sf0.1) and the 1M image table
+    # (the 10x tail) — the per-row step between them is the serving path's
+    # scale-shape criterion, like the offline 1M->10M legs
+    n_srv = timed("online_serving", lambda: catalog.online_serving(SF_DIR).count(), repeats=3)
+    n_srv10 = timed(
+        "online_serving_10x",
+        lambda: image_serving_lambda(img_dir).count(),
+        repeats=2,
+    )
+    if n_srv and n_srv10:
+        extra["serving_per_row_cost_10x_vs_1x"] = round(
+            (timings["online_serving_10x"] / n_srv10)
+            / (timings["online_serving"] / n_srv),
+            3,
+        )
 
     if RUN_SCALE:
         # 10x scale leg: same flagship pipeline, 10M rows / 365d span, hot
@@ -171,17 +194,20 @@ def run_benchmarks():
         # bench cost for the same effect.
         sdir = ensure_scale_images()
         ray.data.read_parquet(sdir, override_num_blocks=64).count()
+        # min-of-2 with both runs recorded ("runs" in the output JSON): the
+        # recorded 58-172s single-run swing made round-over-round comparison
+        # noisy (VERDICT r3 item 8)
         n10 = timed(
             "image_backfill_10m",
             lambda: image_feature_backfill(sdir, handle_skew=True, read_blocks=64).count(),
-            repeats=1,
+            repeats=2,
         )
         timed(
             "image_backfill_10m_hotchunk",
             lambda: image_feature_backfill(
                 sdir, handle_skew=True, read_blocks=64, bounded_only=True
             ).count(),
-            repeats=1,
+            repeats=2,
         )
         extra["scale_rows"] = n10
         extra["scale_rows_per_sec"] = round(n10 / timings["image_backfill_10m"], 1)
@@ -198,6 +224,7 @@ def run_benchmarks():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         **extra,

@@ -242,6 +242,38 @@ class Fetcher:
         ts, rows = (st[0], st[1]) if st else (None, None)
         return self.agg.lambda_aggregate(batch_ir, ts, rows, query_ts)
 
+    def fetch_batch(self, batch: pd.DataFrame) -> dict[str, list]:
+        """Vectorized fetch for a whole (key cols + ts) frame: one
+        ``lambda_aggregate_many`` call per distinct key (searchsorted window
+        bounds, per-hop memoized IR bases) instead of a Python dispatch per
+        row — the same engine ServingKernel's distributed path uses.  Tile-
+        backed serving stays per-row (TileAggregator holds mutable state).
+        Returns {output_column: values aligned with batch's positions}."""
+        out_cols = [p.output_column for p in self.agg.parts]
+        feat_cols: dict[str, list] = {c: [None] * len(batch) for c in out_cols}
+        if self._tiles is not None:
+            for pos, (key, ts) in enumerate(
+                zip(zip(*(batch[k] for k in self.key_cols)), batch["ts"])
+            ):
+                row = self.fetch(key, int(ts))
+                for c in out_cols:
+                    feat_cols[c][pos] = row[c]
+            return feat_cols
+        grouped = batch.reset_index(drop=True).groupby(self.key_cols, sort=False)
+        for key, sub in grouped:
+            key = key if isinstance(key, tuple) else (key,)
+            st = self._stream.get(key)
+            ts_arr, rows = (st[0], st[1]) if st else (None, None)
+            feats = self.agg.lambda_aggregate_many(
+                self._batch_ir(key), ts_arr, rows, sub["ts"].to_numpy(dtype=np.int64)
+            )
+            idx = sub.index.to_numpy()
+            for c in out_cols:
+                col, vals = feat_cols[c], feats[c]
+                for i, v in zip(idx, vals):
+                    col[i] = v
+        return feat_cols
+
 
 class ServingKernel:
     """Per-bucket lambda merge over three co-partitioned sides: queries
@@ -388,13 +420,8 @@ class OnlineEnrich:
         self.key_cols = group_by.key_columns
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        feats = [
-            self.fetcher.fetch(key, int(ts))
-            for key, ts in zip(
-                zip(*(batch[k] for k in self.key_cols)), batch["ts"]
-            )
-        ]
+        feat_cols = self.fetcher.fetch_batch(batch)
         out = batch.copy()
         for col in self.fetcher.agg.parts:
-            out[col.output_column] = [f[col.output_column] for f in feats]
+            out[col.output_column] = feat_cols[col.output_column]
         return out

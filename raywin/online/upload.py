@@ -192,17 +192,31 @@ def group_by_upload(
     return out
 
 
-def load_upload(upload_ds, key_cols: list[str]) -> dict:
+def load_upload(upload_ds, key_cols: list[str], max_rows: int = 1_000_000) -> dict:
     """Materialize an upload table into the serving map {key_tuple: blob}.
 
     The per-key IR table is exactly what the reference ships to its KV store
     (GroupByUpload -> Api.put); a real deployment loads this into the store
     and the Fetcher reads per-key.  For in-process serving / offline
     enrichment we hold the dict (broadcast once via ray.put for distributed
-    enrichment — see serving.OnlineEnrich)."""
+    enrichment — see serving.OnlineEnrich).
+
+    COUNT-GATED (like the q3 dimension broadcast): broadcasting is only
+    correct while the whole IR table fits one node, so a table above
+    ``max_rows`` raises and points at online_enrich_distributed — the
+    co-partitioned path with zero driver materialization.  Raise the limit
+    explicitly only when the deployment's nodes are known to hold it."""
     if isinstance(upload_ds, pd.DataFrame):
-        df = upload_ds
+        n = len(upload_ds)
     else:
-        df = upload_ds.to_pandas()
+        n = upload_ds.count()  # metadata count: no materialization
+    if n > max_rows:
+        raise ValueError(
+            f"upload table has {n} keys > max_rows={max_rows}: broadcasting "
+            "would hold the whole IR state on every node — use "
+            "online.serving.online_enrich_distributed (co-partitioned, no "
+            "driver materialization) or raise max_rows deliberately"
+        )
+    df = upload_ds if isinstance(upload_ds, pd.DataFrame) else upload_ds.to_pandas()
     keys = list(zip(*(df[k] for k in key_cols))) if len(df) else []
     return dict(zip(keys, df[IR_COL]))

@@ -627,7 +627,14 @@ def q3_top_revenue(sf_dir: str):
                                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    filtered = cust.filter(expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    filtered = (
+        cust.filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        # materialize the (small, projected) filtered dimension ONCE: both
+        # the count gate and whichever join path wins reuse the same blocks
+        # instead of re-running the scan+filter twice
+        .materialize()
+    )
     # gate the driver materialization on a distributed count (mirrors the
     # join small-mode gate, join.py:66-68): broadcast only when the filtered
     # dimension is provably small, else keep it distributed via one
@@ -1279,15 +1286,21 @@ _IMG_SMALL_PATH = "/tmp/raywin_img_small"
 def _ensure_img_small():
     import os
 
-    from ..stages.images import cache_is_current, generate_image_events
+    from ..stages.images import FORMATS_MIXED, cache_is_current, generate_image_events
 
     path = _IMG_SMALL_PATH
-    if not (os.path.exists(os.path.join(path, "part-0000.parquet")) and cache_is_current(path)):
+    if not (
+        os.path.exists(os.path.join(path, "part-0000.parquet"))
+        and cache_is_current(path, FORMATS_MIXED)
+    ):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(path + "_truth", ignore_errors=True)
-        generate_image_events(path, n_rows=2000, n_entities=300, files=4)
+        # mixed png/jpeg/qimg: the driver-gated flagship exercises all three
+        # codecs (incl. baseline JPEG) with per-row PSNR/caption invariants
+        generate_image_events(path, n_rows=2000, n_entities=300, files=4,
+                              formats=FORMATS_MIXED)
     return path
 
 

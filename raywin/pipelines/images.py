@@ -17,24 +17,32 @@ import numpy as np
 import pyarrow as pa
 
 from ..api import Accuracy, Aggregation, EventSource, GroupBy, Operation, Query, TimeUnit, Window
-from ..stages.images import DecodeFeatures, make_caption
+from ..stages.images import DecodeFeatures
 from .group_by import features_for_queries
 
 
 class CaptionCheck:
-    """Verify captions survive byte-exact through every hop (cheap per batch)."""
+    """Invariant probe: captions survive byte-exact through any hop.
 
-    def __init__(self):
-        from functools import lru_cache
-
-        self._caption = lru_cache(maxsize=1 << 16)(make_caption)
+    Insertable after any map_batches stage that carries (image_id, caption).
+    Fully batched: regenerate the expected caption column for the whole
+    batch (vectorized splitmix64 stream, stages/images.py
+    make_captions_bulk) and compare as numpy arrays — no per-row Python.
+    The flagship's DecodeFeatures stage runs the same check inline; this
+    standalone stage exists for pipelines that keep captions riding past
+    decode."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.images import make_captions_bulk
+
         ids = batch["image_id"].to_pylist()
-        caps = batch["caption"].to_pylist()
-        for i, c in zip(ids, caps):
-            expected = self._caption(i)
-            assert c == expected, f"caption corrupted for {i}: {c!r} != {expected!r}"
+        got = np.asarray(batch["caption"].to_pylist(), dtype=object)
+        expected = np.asarray(make_captions_bulk(ids), dtype=object)
+        bad = np.flatnonzero(got != expected)
+        assert len(bad) == 0, (
+            f"caption corrupted for {ids[bad[0]]}: "
+            f"{got[bad[0]]!r} != {expected[bad[0]]!r} (+{len(bad) - 1} more)"
+        )
         return batch
 
 
@@ -149,6 +157,58 @@ def image_feature_backfill(
     return features_for_queries(
         gb, left, num_buckets=num_buckets, right_ds=decoded, dedupe_queries=True,
         hot_config=hot_config,
+    )
+
+
+def image_serving_lambda(table_path: str, num_buckets: int = 32,
+                         read_blocks: int | None = 32):
+    """Serving lambda (distributed co-partition path, zero driver state)
+    over the image event table — the online counterpart of the flagship
+    backfill, sized for the bench's 10x-tail scale leg.
+
+    Seam = the span's midpoint midnight; batch half -> GroupByUpload IR
+    table, streaming tail = events after the seam, queries = distinct
+    (image_id, ts) inside the seam day.  Only the lambda's input columns
+    leave storage (no payload bytes, no decode — serving reads features
+    already materialized upstream; here the raw numeric columns stand in)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..online import group_by_upload
+    from ..online.serving import online_enrich_distributed
+
+    DAY = 86_400_000
+    ts_tbl = pads.dataset(table_path, format="parquet").to_table(columns=["ts"])
+    ts = ts_tbl["ts"].to_numpy()
+    batch_end = ((int(ts.min()) + int(ts.max())) // 2) // DAY * DAY
+
+    gb = GroupBy(
+        sources=[EventSource(table=table_path, query=Query(
+            selects={"image_id": "image_id", "views": "views", "score": "score"},
+            time_column="ts",
+        ))],
+        key_columns=["image_id"],
+        aggregations=[
+            Aggregation(Operation.SUM, "views", windows=[Window(1, TimeUnit.DAYS), Window(-1)]),
+            Aggregation(Operation.COUNT, "views", windows=[Window(6, TimeUnit.HOURS)]),
+            Aggregation(Operation.MAX, "score", windows=[Window(7, TimeUnit.DAYS)]),
+        ],
+        accuracy=Accuracy.TEMPORAL,
+        name="img_serving",
+    )
+    upload = group_by_upload(gb, batch_end, num_buckets=num_buckets)
+    stream = ray.data.read_parquet(
+        table_path, columns=["image_id", "ts", "views", "score"],
+        override_num_blocks=read_blocks,
+    )
+    left = (
+        ray.data.read_parquet(
+            table_path, columns=["image_id", "ts"], override_num_blocks=read_blocks
+        )
+        .filter(expr=f"ts >= {batch_end} and ts < {batch_end + DAY}")
+    )
+    return online_enrich_distributed(
+        left, gb, batch_end, upload, stream, num_buckets=num_buckets
     )
 
 

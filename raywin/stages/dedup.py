@@ -103,26 +103,31 @@ class MinHashBands:
         )
 
 
-def _labels_checksum(labels_ds, id_col: str) -> int:
-    """Order-independent uint64 checksum of a (doc, cluster) label table:
-    one wraparound sum per block, tiny per-block rows to the driver.  Labels
-    only DECREASE across propagation rounds, so checksum equality between
-    rounds means fixpoint (up to a 64-bit collision)."""
+def _labels_checksum(labels_ds, id_col: str) -> tuple[int, int]:
+    """Order-independent pair of uint64 checksums of a (doc, cluster) label
+    table: one wraparound sum per block, tiny per-block rows to the driver.
+    Labels only DECREASE across propagation rounds, so checksum equality
+    between rounds means fixpoint.  TWO independently-mixed sums (the second
+    hashes the columns in swapped order) so a single 64-bit collision cannot
+    silently stop propagation — both would have to collide at once (~2^-128)."""
 
     def block_sum(batch: pa.Table) -> pa.Table:
-        h = stable_hash(
-            [
-                batch[id_col].to_numpy(zero_copy_only=False),
-                batch["cluster"].to_numpy(zero_copy_only=False),
-            ]
-        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        clusters = batch["cluster"].to_numpy(zero_copy_only=False)
+        h1 = stable_hash([ids, clusters])
+        h2 = stable_hash([clusters, ids])
         with np.errstate(over="ignore"):
-            s = np.uint64(h.sum())
-        return pa.table({"s": pa.array([s], type=pa.uint64())})
+            s1 = np.uint64(h1.sum())
+            s2 = np.uint64(h2.sum())
+        return pa.table({"s1": pa.array([s1], type=pa.uint64()),
+                         "s2": pa.array([s2], type=pa.uint64())})
 
     parts = labels_ds.map_batches(block_sum, batch_format="pyarrow").to_pandas()
     with np.errstate(over="ignore"):
-        return int(parts["s"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64))
+        return (
+            int(parts["s1"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64)),
+            int(parts["s2"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64)),
+        )
 
 
 def _cc_local(edges, id_col: str):
@@ -256,6 +261,7 @@ def minhash_lsh_clusters(
             names=cols + [SIDE_COL],
         )
 
+    converged = False
     for _ in range(max_rounds - 1):
         unioned = labels.map_batches(pad_labels, batch_format="pyarrow").union(
             edges.map_batches(pad_edges, batch_format="pyarrow")
@@ -268,8 +274,23 @@ def minhash_lsh_clusters(
         labels = propagate(labeled_edges).materialize()
         new_checksum = _labels_checksum(labels, id_col)
         if new_checksum == checksum:
+            converged = True
             break
         checksum = new_checksum
+    if not converged:
+        # min-label propagation advances the winning label one hop per round,
+        # so non-convergence within max_rounds means a component deeper than
+        # ~max_rounds hops — silent under-clustering would diverge from the
+        # transitive-closure semantics, so make it loud
+        import warnings
+
+        warnings.warn(
+            f"minhash_lsh_clusters: label propagation did not reach fixpoint "
+            f"within max_rounds={max_rounds}; returned labels may under-merge "
+            f"very deep duplicate chains — raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -9,14 +9,17 @@ so the codecs are implemented from scratch on stdlib zlib:
              8-bit RGB/RGBA non-interlaced with ALL five scanline filters
              (none/sub/up/average/paeth) — files from any standard encoder
              decode correctly (RFC 2083 §6)
+  * "jpeg" — REAL baseline sequential JFIF (ITU-T T.81): huffman entropy
+             coding, 4:4:4/4:2:0, restart markers, batched-numpy DCT/IDCT
+             (see stages/jpeg.py)
   * "bmp"  — REAL 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
              bottom-up, row padding) — interoperable both directions
   * "qimg" — deterministic fake lossy codec (6-bit uniform quantization +
              zlib); PSNR of the round-trip is ~46 dB, exercising the
              "PSNR >= 40 dB for lossy formats" invariant end-to-end
 
-A production deployment would swap `decode_image`'s JPEG/WebP branch for a
-real library decode inside the same actor signature — the Ray-side plumbing
+A production deployment would swap `decode_image`'s WebP branch for a real
+library decode inside the same actor signature — the Ray-side plumbing
 (schema, batch size, actor pool, output layout) is real and tested.
 """
 
@@ -170,15 +173,19 @@ def qimg_decode(blob: bytes) -> np.ndarray:
 def decode_image(blob: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(blob)
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(blob)
     if fmt == "bmp":
         return bmp_decode(blob)
     if fmt == "qimg":
         return qimg_decode(blob)
     raise NotImplementedError(
-        f"codec {fmt!r}: JPEG/WebP decode requires DCT/VP8 machinery from an "
-        "image library not present in this container; plug one in here (png "
-        "and bmp are real spec-compliant codecs, qimg the deterministic "
-        "lossy stand-in)"
+        f"codec {fmt!r}: WebP decode requires VP8 machinery from an image "
+        "library not present in this container; plug it in here (png, bmp "
+        "and baseline jpeg are real spec-compliant codecs, qimg the "
+        "deterministic lossy stand-in)"
     )
 
 
@@ -275,14 +282,27 @@ class DecodeFeatures:
 # an older generator would fail the decode invariant checks
 GENERATOR_VERSION = "v3-truth"
 
+# default format mix (legacy 50/50 draw — existing caches stay valid); the
+# mixed web-corpus shape adds baseline JPEG
+FORMATS_DEFAULT = ("png", "qimg")
+FORMATS_MIXED = ("png", "jpeg", "qimg")
 
-def cache_is_current(path: str) -> bool:
+
+def _marker_text(formats) -> str:
+    return (
+        GENERATOR_VERSION
+        if tuple(formats) == FORMATS_DEFAULT
+        else GENERATOR_VERSION + "+" + "/".join(formats)
+    )
+
+
+def cache_is_current(path: str, formats=FORMATS_DEFAULT) -> bool:
     import os
 
     marker = os.path.join(path, "_GENERATOR_VERSION")
     try:
         with open(marker) as f:
-            return f.read().strip() == GENERATOR_VERSION
+            return f.read().strip() == _marker_text(formats)
     except OSError:
         return False
 
@@ -352,15 +372,18 @@ def generate_image_events(
     skew: float = 1.2,
     files: int = 8,
     size: int = 8,
+    formats=FORMATS_DEFAULT,
 ):
     """Write a deterministic parquet image event table with Zipf-skewed
     entities and phash values (hot keys on purpose — the skew the engine's
-    salting/time-bucketing must absorb)."""
+    salting/time-bucketing must absorb).  ``formats`` picks the payload
+    codec mix (uniform draw); the 2-format default reproduces the legacy
+    50/50 png/qimg tables byte-for-byte."""
     import os
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_GENERATOR_VERSION"), "w") as f:
-        f.write(GENERATOR_VERSION)
+        f.write(_marker_text(formats))
     rows_per_file = (n_rows + files - 1) // files
     jobs = []
     for fi in range(files):
@@ -375,7 +398,10 @@ def generate_image_events(
             gen = ray.remote(_generate_image_file)
             ray.get(
                 [
-                    gen.remote(path, fi, n, n_entities, seed + fi, base_ts, span_days, skew, size)
+                    gen.remote(
+                        path, fi, n, n_entities, seed + fi, base_ts, span_days,
+                        skew, size, formats,
+                    )
                     for fi, n in jobs
                 ]
             )
@@ -383,11 +409,39 @@ def generate_image_events(
     except ImportError:
         pass
     for fi, n in jobs:
-        _generate_image_file(path, fi, n, n_entities, seed + fi, base_ts, span_days, skew, size)
+        _generate_image_file(
+            path, fi, n, n_entities, seed + fi, base_ts, span_days, skew, size, formats
+        )
     return path
 
 
-def _generate_image_file(path, fi, n, n_entities, seed, base_ts, span_days, skew, size):
+def _encode_payload(px: np.ndarray, fmt: str) -> tuple[bytes, tuple]:
+    """(blob, truth pixel features of the DECODED payload) for one codec —
+    truth must reflect the round trip, not the original, for lossy formats."""
+    if fmt == "png":
+        blob = png_encode(px)
+        decoded = px
+    elif fmt == "qimg":
+        blob = qimg_encode(px)
+        q = px >> 2
+        decoded = (q << 2) | (q >> 4)
+    elif fmt == "jpeg":
+        from .jpeg import jpeg_decode, jpeg_encode
+
+        # Q100 4:4:4: random-noise fixtures are the DCT worst case; this
+        # setting keeps the round trip comfortably above the 40 dB invariant
+        blob = jpeg_encode(px, quality=100, subsampling="444")
+        decoded = jpeg_decode(blob)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown fixture format {fmt!r}")
+    feats = pixel_features(decoded[None, ...])
+    return blob, tuple(float(v[0]) for v in feats)
+
+
+def _generate_image_file(
+    path, fi, n, n_entities, seed, base_ts, span_days, skew, size,
+    formats=FORMATS_DEFAULT,
+):
     import os
 
     import pyarrow.parquet as pq
@@ -400,37 +454,44 @@ def _generate_image_file(path, fi, n, n_entities, seed, base_ts, span_days, skew
     ent_idx = rng.choice(n_entities, n, p=probs)
     ids = np.array([f"img_{e:08d}" for e in ent_idx])
     ts = base_ts + rng.integers(0, span, n)
-    fmts = np.where(rng.random(n) < 0.5, "png", "qimg")
-    # payloads are pure functions of image_id — compute once per unique entity
-    per_id: dict[str, tuple] = {}
-    for image_id in np.unique(ids):
-        px = make_pixels(image_id, size, size)
+    # one uniform draw regardless of |formats| so downstream rng draws
+    # (score, views) stay on the legacy stream; len==2 reproduces the
+    # original `rng.random(n) < 0.5` png/qimg split exactly
+    fmt_arr = np.asarray(formats, dtype=object)
+    fmts = fmt_arr[
+        np.minimum((rng.random(n) * len(formats)).astype(np.int64), len(formats) - 1)
+    ].astype(str)
+    # payloads are pure functions of image_id — compute once per unique
+    # (entity, fmt) actually drawn
+    caption_of: dict[str, str] = {}
+    phash_of: dict[str, np.int64] = {}
+    blob_of: dict[tuple[str, str], bytes] = {}
+    feat_of: dict[tuple[str, str], tuple] = {}
+    uniq_ids = np.unique(ids)
+    px_of = {i: make_pixels(i, size, size) for i in uniq_ids}
+    for image_id in uniq_ids:
+        px = px_of[image_id]
         bits = (px.mean(axis=2) > px.mean()).flatten()[:64]
-        phash = np.int64(
+        phash_of[image_id] = np.int64(
             (bits.astype(np.uint64) << np.arange(len(bits), dtype=np.uint64))
             .sum()
             .astype(np.uint64)
             .view(np.int64)
         )
-        # truth features for BOTH decode paths (png = lossless original,
-        # qimg = dequantized round trip) — the ground the oracle stands on
-        q = px >> 2
-        deq = (q << 2) | (q >> 4)
-        f_png = pixel_features(px[None, ...])
-        f_q = pixel_features(deq[None, ...])
-        per_id[image_id] = (
-            png_encode(px), qimg_encode(px), make_caption(image_id), phash,
-            tuple(float(v[0]) for v in f_png), tuple(float(v[0]) for v in f_q),
-        )
+        caption_of[image_id] = make_caption(image_id)
+    for f in dict.fromkeys(formats):
+        for image_id in np.unique(ids[fmts == f]):
+            blob_of[(image_id, f)], feat_of[(image_id, f)] = _encode_payload(
+                px_of[image_id], f
+            )
     blobs, captions, phashes = [], [], np.empty(n, dtype=np.int64)
     feats = np.empty((n, 3), dtype=np.float64)
     for i in range(n):
-        png_b, q_b, cap, ph, f_png, f_q = per_id[ids[i]]
-        is_png = fmts[i] == "png"
-        blobs.append(png_b if is_png else q_b)
-        captions.append(cap)
-        phashes[i] = ph
-        feats[i] = f_png if is_png else f_q
+        key = (ids[i], fmts[i])
+        blobs.append(blob_of[key])
+        captions.append(caption_of[ids[i]])
+        phashes[i] = phash_of[ids[i]]
+        feats[i] = feat_of[key]
     # score is decimal-valued (3 digits) so float aggregates can use the
     # engine's exact fixed-point path and match the SQL oracle bitwise
     score = np.round(rng.normal(0.5, 0.2, n), 3)

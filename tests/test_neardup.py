@@ -133,3 +133,36 @@ def test_minhash_transitive_closure(ray_session, tmp_path, cutoff):
     assert out.loc[0] == out.loc[1] == out.loc[2] == 0
     # unrelated docs stay out of the chain's cluster
     assert (out.loc[3:] != 0).all()
+
+
+def test_minhash_nonconvergence_warns(ray_session, tmp_path):
+    """With max_rounds too small for the component's hop depth, the
+    distributed CC path must WARN instead of silently under-clustering."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from raywin.stages.dedup import minhash_lsh_clusters
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i:03d}" for i in range(400)]
+    # chain of 6 docs, each ~90% similar to its neighbor only
+    cur = rng.choice(words, size=60).tolist()
+    texts = [" ".join(cur)]
+    for step in range(5):
+        cur = list(cur)
+        cur[step * 6 : step * 6 + 6] = [f"z{step}_{j}" for j in range(6)]
+        texts.append(" ".join(cur))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    path = str(tmp_path / "deep_chain.parquet")
+    pq.write_table(t, path)
+    ds = ray.data.read_parquet(path)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        minhash_lsh_clusters(
+            ds, "text", "doc_id", local_edge_cutoff=0, max_rounds=2
+        ).to_pandas()
+    assert any("fixpoint" in str(w.message) for w in caught)

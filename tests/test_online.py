@@ -283,3 +283,58 @@ def test_lambda_aggregate_many_bitwise(ray_session, online_fixture):
             for p in agg.parts:
                 assert many[p.output_column][i] == one[p.output_column], (
                     k, int(q), p.output_column)
+
+
+def test_load_upload_count_gate(ray_session, online_fixture):
+    """load_upload refuses to materialize an upload table above max_rows —
+    no caller can broadcast an unbounded IR state by default."""
+    df, path, gb = online_fixture
+    upload_ds = group_by_upload(gb, BATCH_END, num_buckets=4)
+    with pytest.raises(ValueError, match="online_enrich_distributed"):
+        load_upload(upload_ds, ["k"], max_rows=1)
+    # explicit raise works, and the DataFrame fast path gates too
+    m = load_upload(group_by_upload(gb, BATCH_END, num_buckets=4), ["k"])
+    assert len(m) > 1
+    updf = pd.DataFrame({"k": list("abc"), "__batch_ir": [b"x", b"y", b"z"]})
+    with pytest.raises(ValueError, match="max_rows"):
+        load_upload(updf, ["k"], max_rows=2)
+
+
+def test_image_serving_lambda_matches_asof_oracle(ray_session, tmp_path):
+    """The image-table serving lambda (bench 10x-tail leg) is exact: batch
+    IR + streaming tail == plain point-in-time recompute over all events."""
+    import duckdb
+
+    from raywin.pipelines.images import image_serving_lambda
+    from raywin.stages.images import generate_image_events
+
+    path = str(tmp_path / "imgserv")
+    generate_image_events(path, 1200, 60, files=2)
+    out = image_serving_lambda(path, num_buckets=4, read_blocks=2).to_pandas()
+    assert len(out) > 0
+
+    DAY, HOUR = 86_400_000, 3_600_000
+    FIVE = 5 * 60 * 1000
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev AS SELECT image_id, ts, views, score FROM '{path}/*.parquet'")
+    oracle = con.execute(f"""
+        WITH b AS (SELECT ((CAST(min(ts) AS BIGINT) + CAST(max(ts) AS BIGINT)) // 2)
+                    // {DAY} * {DAY} AS batch_end FROM ev),
+        q AS (SELECT DISTINCT image_id, ts FROM ev, b
+              WHERE ts >= batch_end AND ts < batch_end + {DAY}),
+        p AS (SELECT q.image_id, q.ts, e.views, e.score, e.ts AS ets
+              FROM q LEFT JOIN ev e ON e.image_id = q.image_id AND e.ts < q.ts)
+        SELECT image_id, ts,
+          sum(views) FILTER (WHERE ets >= (ts - {DAY})//{HOUR}*{HOUR}) AS views_sum_1d,
+          sum(views) AS views_sum,
+          nullif(count(views) FILTER (WHERE ets >= (ts - 6*{HOUR})//{FIVE}*{FIVE}), 0)
+            AS views_count_6h,
+          max(score) FILTER (WHERE ets >= (ts - 7*{DAY})//{HOUR}*{HOUR}) AS score_max_7d
+        FROM p GROUP BY image_id, ts
+    """).df()
+    m = oracle.merge(out, on=["image_id", "ts"], suffixes=("_o", ""))
+    assert len(m) == len(oracle) == len(out)
+    for c in ("views_sum_1d", "views_sum", "views_count_6h", "score_max_7d"):
+        x = m[c + "_o"].astype(float)
+        y = m[c].astype(float)
+        assert ((x.isna() & y.isna()) | (abs(x - y) < 1e-9)).all(), c
