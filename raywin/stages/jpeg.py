@@ -379,13 +379,14 @@ class _HuffTable:
 
 
 class _BitReader:
-    """Entropy-segment bit reader: unstuffs the whole scan up front
-    (numpy pass over the byte array), then serves peeks via a 4-byte
-    window — ~1 ``int.from_bytes`` per huffman symbol instead of
-    per-bit Python calls.  RSTn markers become recorded segment
-    boundaries; ``align_restart`` jumps to the next one."""
+    """Entropy-segment preprocessor: unstuffs the whole scan up front
+    (numpy pass over the byte array) into ``buf`` and records where each
+    RSTn restart segment begins (``seg_starts``, cleaned-stream byte
+    offsets).  The actual bit reads happen inline in jpeg_decode's MCU
+    loop — ~1 ``int.from_bytes`` 4-byte window peek per huffman symbol
+    instead of per-bit Python calls."""
 
-    __slots__ = ("buf", "bitpos", "seg_starts", "_next_seg")
+    __slots__ = ("buf", "bitpos", "seg_starts")
 
     def __init__(self, data: bytes, pos: int):
         arr = np.frombuffer(data, np.uint8, len(data) - pos, pos)
@@ -415,37 +416,9 @@ class _BitReader:
         self.seg_starts = [
             int(kept_idx[r + 2]) if r + 2 < len(arr) else len(self.buf) - 4 for r in rst
         ]
-        self._next_seg = 0
-
-    def peek16(self) -> int:
-        i = self.bitpos >> 3
-        chunk = int.from_bytes(self.buf[i : i + 4], "big")
-        return (chunk >> (16 - (self.bitpos & 7))) & 0xFFFF
-
-    def receive(self, n: int) -> int:
-        v = (self.peek16() >> (16 - n)) & ((1 << n) - 1)
-        self.bitpos += n
-        return v
-
-    def align_restart(self):
-        """Jump to the start of the next restart segment (byte-aligned)."""
-        if self._next_seg >= len(self.seg_starts):
-            raise ValueError("restart marker expected but missing")
-        self.bitpos = self.seg_starts[self._next_seg] << 3
-        self._next_seg += 1
-
-    def decode(self, tbl: _HuffTable) -> int:
-        w = self.peek16()
-        ln = tbl.length[w]
-        if ln == 0:
-            raise ValueError("corrupt huffman stream")
-        self.bitpos += int(ln)
-        return int(tbl.sym[w])
-
-
-def _extend(v: int, ssss: int) -> int:
-    """EXTEND (F.2.2.1): magnitude bits -> signed value."""
-    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+    # bit reads happen inline in jpeg_decode's MCU loop (locals-only hot
+    # path): peek = (int.from_bytes(buf[i:i+4]) >> (16 - (bitpos & 7)))
+    # & 0xFFFF, then LUT-resolve / EXTEND (T.81 F.2.2.1) in place.
 
 
 def jpeg_decode(blob: bytes) -> np.ndarray:
