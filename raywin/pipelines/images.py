@@ -96,14 +96,27 @@ def image_feature_backfill(
     # 100 TB deployment wants ~100-500 MB blocks anyway (tune via
     # DataContext.target_max_block_size / override_num_blocks)
     events = ray.data.read_parquet(table_path, override_num_blocks=read_blocks)
-    if decode_concurrency is None:
-        # stateless tasks: warm worker processes are reused across tasks, so
-        # per-worker first-touch/warmup is paid once — a real model-loading
-        # decoder would instead pass concurrency=N for an actor pool
+    if decode_concurrency == "tasks":
+        # stateless task pool: fine when decode is cheap relative to the
+        # kernel, but the streaming executor SPLITS the cpu budget across
+        # the pipeline's operators, and with an expensive codec (JPEG
+        # entropy decode) the fused decode operator can be starved to
+        # near-serial execution (measured: 253 s vs 86 s at 8 CPUs on the
+        # mixed 1M table).  Kept for comparison / cheap-codec pipelines.
         decoded = events.map_batches(
             DecodeFeatures(check_invariants), batch_format="pyarrow", batch_size=8192
         )
     else:
+        if decode_concurrency is None:
+            # FIXED-size actor pool sized to the cluster: guarantees the
+            # CPU-bound decode stage real parallelism under the streaming
+            # executor's per-operator resource split (and is the right shape
+            # for a model-loading decoder anyway — setup once per actor).
+            # Measured at 8 CPUs on the mixed 1M table: fixed pool 86 s,
+            # autoscaling (1, n-2) pool 288 s (scale-up never triggered
+            # under backpressure), stateless task pool 253 s (starved).
+            n = int(ray.cluster_resources().get("CPU", 8))
+            decode_concurrency = max(2, n - 2)
         decoded = events.map_batches(
             DecodeFeatures,
             fn_constructor_kwargs={"check_invariants": check_invariants},
