@@ -78,8 +78,11 @@ def run_benchmarks():
         )
     import ray.data
 
+    from raywin.context import tune_data_context
+
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    tune_data_context()
 
     from raywin.pipelines import catalog
     from raywin.pipelines.images import image_feature_backfill, image_serving_lambda

@@ -1,0 +1,35 @@
+"""Engine-level Ray Data context tuning.
+
+One documented knob so far:
+
+``op_resource_reservation_enabled = False`` — Ray Data's streaming executor
+reserves a fixed share of the CPU budget per operator
+(``op_resource_reservation_ratio = 0.5`` by default).  In this engine's
+flagship shape — an expensive decode ``map_batches`` feeding a union +
+co-partition sort + kernel — the reservation starved the decode operator to
+parallelism ≈ 1 once real JPEG entropy decode made it CPU-heavy
+(``ds.stats()``: 222.7 s of remote wall inside a 224.4 s operator window at
+8 CPUs).  Same-session controlled measurements on the mixed png/jpeg/qimg
+1M-row table at 8 CPUs:
+
+    task-pool decode, reservation ON   252.8 s
+    fixed actor pool (n-2), ON          70.8 s
+    autoscaling pool (1, n-2), ON      288.2 s   (never scaled up)
+    task-pool decode, reservation OFF   43.7 s   <- engine default
+
+On kernel-dominated pipelines (the 10M png/qimg scale leg) ON vs OFF is a
+wash (interleaved runs 265/182 s OFF vs 395/220 s ON, trend dominated by
+page-cache warmup), so the engine turns reservation off globally for its
+sessions.  The flag is STICKY on the session's DataContext — execution
+happens later (datasets are lazy), so it cannot be scoped-and-restored.
+"""
+
+from __future__ import annotations
+
+
+def tune_data_context() -> None:
+    """Apply the engine's Ray Data context defaults (idempotent, sticky)."""
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.op_resource_reservation_enabled = False

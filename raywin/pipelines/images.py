@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..api import Accuracy, Aggregation, EventSource, GroupBy, Operation, Query, TimeUnit, Window
+from ..context import tune_data_context
 from ..stages.images import DecodeFeatures
 from .group_by import features_for_queries
 
@@ -95,28 +96,23 @@ def image_feature_backfill(
     # coarse blocks: per-task scheduling is expensive in this sandbox, and a
     # 100 TB deployment wants ~100-500 MB blocks anyway (tune via
     # DataContext.target_max_block_size / override_num_blocks)
+    # the streaming executor's per-operator resource reservation starves the
+    # CPU-heavy decode operator in this union+sort pipeline (measured at
+    # 8 CPUs on the mixed png/jpeg/qimg 1M table: 253 s reserved vs 44 s
+    # unreserved — parallelism ~1 on a 222 s-CPU operator); disable it for
+    # the engine's sessions (sticky DataContext flag, see tune_data_context)
+    tune_data_context()
     events = ray.data.read_parquet(table_path, override_num_blocks=read_blocks)
-    if decode_concurrency == "tasks":
-        # stateless task pool: fine when decode is cheap relative to the
-        # kernel, but the streaming executor SPLITS the cpu budget across
-        # the pipeline's operators, and with an expensive codec (JPEG
-        # entropy decode) the fused decode operator can be starved to
-        # near-serial execution (measured: 253 s vs 86 s at 8 CPUs on the
-        # mixed 1M table).  Kept for comparison / cheap-codec pipelines.
+    if decode_concurrency is None:
+        # stateless task pool: warm worker processes are reused across
+        # tasks, so per-worker first-touch/warmup is paid once — a real
+        # model-loading decoder would instead pass concurrency=N for a
+        # fixed actor pool (which also sidesteps reservation starvation:
+        # 71 s at 8 CPUs on the same table, vs 44 s tasks-unreserved)
         decoded = events.map_batches(
             DecodeFeatures(check_invariants), batch_format="pyarrow", batch_size=8192
         )
     else:
-        if decode_concurrency is None:
-            # FIXED-size actor pool sized to the cluster: guarantees the
-            # CPU-bound decode stage real parallelism under the streaming
-            # executor's per-operator resource split (and is the right shape
-            # for a model-loading decoder anyway — setup once per actor).
-            # Measured at 8 CPUs on the mixed 1M table: fixed pool 86 s,
-            # autoscaling (1, n-2) pool 288 s (scale-up never triggered
-            # under backpressure), stateless task pool 253 s (starved).
-            n = int(ray.cluster_resources().get("CPU", 8))
-            decode_concurrency = max(2, n - 2)
         decoded = events.map_batches(
             DecodeFeatures,
             fn_constructor_kwargs={"check_invariants": check_invariants},
@@ -190,6 +186,7 @@ def image_serving_lambda(table_path: str, num_buckets: int = 32,
     from ..online import group_by_upload
     from ..online.serving import online_enrich_distributed
 
+    tune_data_context()
     DAY = 86_400_000
     ts_tbl = pads.dataset(table_path, format="parquet").to_table(columns=["ts"])
     ts = ts_tbl["ts"].to_numpy()
