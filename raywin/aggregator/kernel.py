@@ -111,6 +111,31 @@ def _power_prefix(sv: np.ndarray, p: int):
     return cs
 
 
+def _mix_codes(combined_codes: list[np.ndarray]) -> np.ndarray:
+    """Radix-mix per-column factor codes into joint entity codes (int64,
+    encounter order).
+
+    Re-factorizes the running mix whenever the next radix step could overflow
+    int64 (3+ high-cardinality key columns) — after a re-factorize the running
+    codes are < n_rows, so ``mixed * card + codes`` stays < n_rows**2 < 2**62
+    for any realistic partition.  Encounter order is preserved: factorize of
+    the mixed values yields the same first-seen ordering as factorize of the
+    key tuples themselves."""
+    mixed = combined_codes[0].astype(np.int64)
+    run_card = int(mixed.max()) + 1 if len(mixed) else 1
+    for ci in range(1, len(combined_codes)):
+        codes = combined_codes[ci]
+        card = int(codes.max()) + 1 if len(codes) else 1
+        if run_card * card >= (1 << 62):
+            mixed, _ = pd.factorize(mixed)
+            mixed = mixed.astype(np.int64)
+            run_card = int(mixed.max()) + 1 if len(mixed) else 1
+        mixed = mixed * np.int64(card) + codes
+        run_card *= card
+    joint, _ = pd.factorize(mixed)
+    return joint
+
+
 def factorize_multi(columns_list: list[list[np.ndarray]]) -> tuple[list[np.ndarray], int]:
     """Jointly factorize tuples of key columns across several frames.
 
@@ -126,11 +151,7 @@ def factorize_multi(columns_list: list[list[np.ndarray]]) -> tuple[list[np.ndarr
     if ncols == 1:
         joint = combined_codes[0]
     else:
-        mixed = combined_codes[0].astype(np.int64)
-        for ci in range(1, ncols):
-            card = combined_codes[ci].max() + 1 if len(combined_codes[ci]) else 1
-            mixed = mixed * np.int64(card) + combined_codes[ci]
-        joint, _ = pd.factorize(mixed)
+        joint = _mix_codes(combined_codes)
     n_entities = int(joint.max()) + 1 if len(joint) else 0
     out, off = [], 0
     for ln in lens:
@@ -246,14 +267,7 @@ def _factorize_frames(evf, qf, key_cols: list[str]) -> tuple[np.ndarray, np.ndar
             if len(combined_codes) == 1:
                 joint = combined_codes[0]
             else:
-                mixed = combined_codes[0]
-                for ci in range(1, len(combined_codes)):
-                    card = (
-                        combined_codes[ci].max() + 1 if len(combined_codes[ci]) else 1
-                    )
-                    mixed = mixed * np.int64(card) + combined_codes[ci]
-                joint, _ = pd.factorize(mixed)
-                joint = joint.astype(np.int64)
+                joint = _mix_codes(combined_codes).astype(np.int64)
             return joint[:n_ev], joint[n_ev:]
     (ev_ent, q_ent), _ = factorize_multi(
         [

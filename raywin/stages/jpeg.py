@@ -163,6 +163,9 @@ class _BitWriter:
             self.buf.append(b)
             if b == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
+        # Truncate drained high bits: otherwise acc grows into an ever-larger
+        # bigint and each write() becomes O(output size) -> O(n^2) encode.
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
@@ -441,6 +444,9 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = blob[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -494,6 +500,10 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
 
     assert comps is not None and scan is not None, "missing SOF/SOS"
     assert len(comps) in (1, 3), "only grayscale / YCbCr supported"
+    if len(scan) < len(comps):
+        # A legal multi-scan (non-interleaved) baseline file starts with a
+        # partial scan; decoding only it would silently drop chroma.
+        raise ValueError("multi-scan (non-interleaved) baseline JPEG not supported")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

@@ -193,6 +193,47 @@ def test_jpeg_rejects_progressive():
         jpeg_decode(bytes(blob))
 
 
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+    code; the parser must skip them rather than misparse a segment length."""
+    px = make_pixels("img_00000042", 8, 8)
+    blob = jpeg_encode(px, quality=100)
+    i = blob.find(b"\xff\xdb")  # first DQT
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]  # fill bytes + marker's own 0xFF
+    np.testing.assert_array_equal(jpeg_decode(padded), jpeg_decode(blob))
+
+
+def test_jpeg_rejects_multiscan_baseline():
+    """A non-interleaved baseline file (first SOS carries fewer components
+    than the frame) must error, not silently decode luma-only."""
+    px = make_pixels("img_00000011", 16, 16)
+    blob = bytearray(jpeg_encode(px, quality=95))
+    i = blob.find(b"\xff\xda")
+    seglen = struct.unpack_from(">H", blob, i + 2)[0]
+    ns = blob[i + 4]
+    assert ns == 3
+    # shrink the scan header to a single (luma) component
+    new_seg = bytes(blob[i + 4 + 1 : i + 4 + 3]) + bytes(blob[i + 2 + seglen - 3 : i + 2 + seglen])
+    new = bytes(blob[: i + 2]) + struct.pack(">HB", 2 + 1 + 2 + 3, 1) + new_seg + bytes(blob[i + 2 + seglen :])
+    with pytest.raises(ValueError, match="multi-scan"):
+        jpeg_decode(new)
+
+
+def test_jpeg_encode_large_image_linear_time():
+    """The bitwriter must truncate drained bits: a 256x256 encode finishes in
+    well under a second (was ~13s when acc grew into an O(n) bigint)."""
+    import time
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    t0 = time.perf_counter()
+    blob = jpeg_encode(px, quality=90)
+    dt = time.perf_counter() - t0
+    assert dt < 5.0, f"encode took {dt:.1f}s — bitwriter quadratic again?"
+    out = jpeg_decode(blob)
+    assert psnr(px, out) >= 25.0
+
+
 def test_jpeg_grayscale_single_component():
     """1-component SOF (grayscale) decodes to replicated RGB channels."""
     px = make_pixels("img_00000007", 16, 16)

@@ -158,3 +158,23 @@ def test_bucketed_matches_oracle(events, query_offsets, op):
         ev=ev,
         q=q,
     )
+
+
+def test_mix_codes_no_int64_wrap_aliasing():
+    """4 high-cardinality key columns: prod(cards) > 2**62 would wrap the
+    naive radix mix and alias distinct entities; _mix_codes must re-factorize
+    mid-mix and keep the exact partition structure + encounter order of the
+    object-tuple path (ADVICE r4: kernel.py radix guard)."""
+    from raywin.aggregator.kernel import _mix_codes
+
+    rng = np.random.default_rng(7)
+    n = 70_000  # card per column == n -> n**4 ~ 2.4e19 > 2**62 ~ 4.6e18
+    cols = [rng.permutation(n).astype(np.int64) for _ in range(4)]
+    joint = _mix_codes(cols)
+    # all 4-tuples are distinct (each column is a permutation paired by row),
+    # so the joint codes must be a bijection onto 0..n-1 in encounter order
+    assert len(np.unique(joint)) == n
+    np.testing.assert_array_equal(joint, np.arange(n, dtype=joint.dtype))
+    # and a low-cardinality sanity case keeps duplicate tuples grouped
+    small = [np.array([0, 1, 0, 1]), np.array([0, 0, 0, 0]), np.array([2, 3, 2, 3])]
+    np.testing.assert_array_equal(_mix_codes(small), np.array([0, 1, 0, 1]))
