@@ -180,17 +180,26 @@ def image_serving_lambda(table_path: str, num_buckets: int = 32,
     (image_id, ts) inside the seam day.  Only the lambda's input columns
     leave storage (no payload bytes, no decode — serving reads features
     already materialized upstream; here the raw numeric columns stand in)."""
-    import pyarrow.dataset as pads
     import ray.data
 
     from ..online import group_by_upload
     from ..online.serving import online_enrich_distributed
+    from ..sources.io import parquet_column_range
 
     tune_data_context()
     DAY = 86_400_000
-    ts_tbl = pads.dataset(table_path, format="parquet").to_table(columns=["ts"])
-    ts = ts_tbl["ts"].to_numpy()
-    batch_end = ((int(ts.min()) + int(ts.max())) // 2) // DAY * DAY
+    # Seam midpoint from parquet row-group statistics — footer metadata only,
+    # never a full-column driver scan.  Fall back to a distributed min/max
+    # aggregate when stats are absent (shuffle.py uses the same aggregates).
+    rng = parquet_column_range(table_path, "ts")
+    if rng is None:
+        from ray.data.aggregate import Max as _Max, Min as _Min
+
+        mm = ray.data.read_parquet(table_path, columns=["ts"]).aggregate(
+            _Min("ts"), _Max("ts")
+        )
+        rng = (mm["min(ts)"], mm["max(ts)"])
+    batch_end = ((int(rng[0]) + int(rng[1])) // 2) // DAY * DAY
 
     gb = GroupBy(
         sources=[EventSource(table=table_path, query=Query(

@@ -58,6 +58,42 @@ def table_schema(path: str):
     return pq.ParquetFile(path).schema_arrow
 
 
+def parquet_column_range(path: str, column: str):
+    """(min, max) of a column across a parquet file/directory from row-group
+    STATISTICS only — reads footers, never data pages, so driver cost is
+    O(#row-groups) regardless of row count (the 10^12-row target would
+    otherwise ship ~8 TB of int64 to the driver for a full-column scan).
+
+    Returns None when any row group lacks stats for the column (caller falls
+    back to a distributed min/max aggregate)."""
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            ci = md.schema.to_arrow_schema().get_field_index(column)
+        except KeyError:
+            return None
+        if ci < 0:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return lo, hi
+
+
 def read_table(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """Columnar scan with projection pushdown — only needed columns leave
     storage (pass filters via Query.wheres; row-group/fragment pruning is

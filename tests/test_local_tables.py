@@ -119,3 +119,33 @@ def test_write_table_conventions(ray_session, tmp_path):
         assert (np.diff(ks) >= 0).all(), f"{f} not sorted within file"
     total = sum(pq.read_table(f).num_rows for f in files)
     assert total == 4000
+
+
+def test_parquet_column_range_stats_only(tmp_path):
+    """parquet_column_range reads row-group footers, not data pages, and
+    matches the true min/max across a multi-file directory."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raywin.sources.io import parquet_column_range
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "tbl"
+    d.mkdir()
+    all_ts = []
+    for i in range(3):
+        ts = rng.integers(10_000, 99_999, 1000)
+        all_ts.append(ts)
+        pq.write_table(
+            pa.table({"ts": ts, "v": rng.normal(size=1000)}),
+            d / f"part-{i}.parquet",
+            row_group_size=250,
+        )
+    cat = np.concatenate(all_ts)
+    assert parquet_column_range(str(d), "ts") == (int(cat.min()), int(cat.max()))
+    assert parquet_column_range(str(d / "part-0.parquet"), "ts") == (
+        int(all_ts[0].min()),
+        int(all_ts[0].max()),
+    )
+    assert parquet_column_range(str(d), "nope") is None
