@@ -173,6 +173,17 @@ class SawtoothOnlineAggregator:
         return out
 
 
+def _scatter_features(feat_cols: dict, idx: np.ndarray, feats: dict, out_cols):
+    """Scatter one key-group's feature lists into per-column object arrays
+    with numpy fancy indexing — two C-level assignments per column instead
+    of a Python loop over queries x parts."""
+    n = len(idx)
+    for c in out_cols:
+        vals = np.empty(n, dtype=object)
+        vals[:] = feats[c]  # object target: safe for ragged list values
+        feat_cols[c][idx] = vals
+
+
 class Fetcher:
     """Per-key batch IRs + streaming state, answering point-in-time fetches.
 
@@ -250,7 +261,9 @@ class Fetcher:
         backed serving stays per-row (TileAggregator holds mutable state).
         Returns {output_column: values aligned with batch's positions}."""
         out_cols = [p.output_column for p in self.agg.parts]
-        feat_cols: dict[str, list] = {c: [None] * len(batch) for c in out_cols}
+        feat_cols = {
+            c: np.full(len(batch), None, dtype=object) for c in out_cols
+        }
         if self._tiles is not None:
             for pos, (key, ts) in enumerate(
                 zip(zip(*(batch[k] for k in self.key_cols)), batch["ts"])
@@ -258,7 +271,7 @@ class Fetcher:
                 row = self.fetch(key, int(ts))
                 for c in out_cols:
                     feat_cols[c][pos] = row[c]
-            return feat_cols
+            return {c: feat_cols[c].tolist() for c in out_cols}
         grouped = batch.reset_index(drop=True).groupby(self.key_cols, sort=False)
         for key, sub in grouped:
             key = key if isinstance(key, tuple) else (key,)
@@ -267,12 +280,8 @@ class Fetcher:
             feats = self.agg.lambda_aggregate_many(
                 self._batch_ir(key), ts_arr, rows, sub["ts"].to_numpy(dtype=np.int64)
             )
-            idx = sub.index.to_numpy()
-            for c in out_cols:
-                col, vals = feat_cols[c], feats[c]
-                for i, v in zip(idx, vals):
-                    col[i] = v
-        return feat_cols
+            _scatter_features(feat_cols, sub.index.to_numpy(), feats, out_cols)
+        return {c: feat_cols[c].tolist() for c in out_cols}
 
 
 class ServingKernel:
@@ -327,7 +336,9 @@ class ServingKernel:
                     {c: sub[c].to_numpy() for c in self.in_cols if c in sub.columns},
                 )
         out = queries.copy()
-        feat_cols: dict[str, list] = {c: [None] * len(queries) for c in out_cols}
+        feat_cols = {
+            c: np.full(len(queries), None, dtype=object) for c in out_cols
+        }
         for key, sub in queries.groupby(self.key_cols, sort=False):
             key = key if isinstance(key, tuple) else (key,)
             blob = blobs.get(key)
@@ -338,13 +349,11 @@ class ServingKernel:
             feats = self.agg.lambda_aggregate_many(
                 ir, ts_arr, rows, sub["ts"].to_numpy(dtype=np.int64)
             )
-            idx = sub.index.to_numpy()
-            for c in out_cols:
-                col, vals = feat_cols[c], feats[c]
-                for i, v in zip(idx, vals):
-                    col[i] = v
+            _scatter_features(feat_cols, sub.index.to_numpy(), feats, out_cols)
         for c in out_cols:
-            out[c] = feat_cols[c]
+            # .tolist() keeps pandas' dtype inference identical to the old
+            # list-of-values writeback (float64 columns stay float64)
+            out[c] = feat_cols[c].tolist()
         return out
 
 
