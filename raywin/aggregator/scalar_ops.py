@@ -29,6 +29,8 @@ from __future__ import annotations
 import json
 import math
 
+import numpy as np
+
 from ..api import AggregationPart, Operation
 
 
@@ -58,6 +60,19 @@ class ScalarOp:
     def delete(self, ir, v, ts=None):
         raise NotImplementedError(f"{type(self).__name__} is not deletable")
 
+    def fold_segments(self, vals, ts, starts):
+        """Vectorized segmented fold: IRs for contiguous segments
+        [starts[i], starts[i+1]) of (vals, ts) — valid rows only, ts-sorted
+        within each segment.  Returns None when this op has no vectorized
+        fold (callers run the per-row prepare/update loop per segment).
+        Float sums use numpy's pairwise reduction, so results may differ
+        from the sequential fold in the last ulp."""
+        return None
+
+
+def _seg_ok(vals) -> bool:
+    return isinstance(vals, np.ndarray) and vals.dtype.kind in "fiub"
+
 
 class Sum(ScalarOp):
     deletable = True
@@ -74,6 +89,11 @@ class Sum(ScalarOp):
     def delete(self, ir, v, ts=None):
         return ir - v
 
+    def fold_segments(self, vals, ts, starts):
+        if not _seg_ok(vals):
+            return None
+        return list(np.add.reduceat(vals, starts)) if len(vals) else []
+
 
 class Count(ScalarOp):
     deletable = True
@@ -89,6 +109,10 @@ class Count(ScalarOp):
 
     def delete(self, ir, v, ts=None):
         return ir - 1
+
+    def fold_segments(self, vals, ts, starts):
+        ends = np.append(starts[1:], len(vals))
+        return (ends - starts).tolist()
 
 
 class Average(ScalarOp):
@@ -115,6 +139,15 @@ class Average(ScalarOp):
         ir[1] -= 1
         return ir
 
+    def fold_segments(self, vals, ts, starts):
+        if not _seg_ok(vals):
+            return None
+        if not len(vals):
+            return []
+        sums = np.add.reduceat(vals.astype(np.float64, copy=False), starts)
+        ends = np.append(starts[1:], len(vals))
+        return [[float(s), int(c)] for s, c in zip(sums, ends - starts)]
+
 
 class Min(ScalarOp):
     def prepare(self, v, ts=None):
@@ -126,6 +159,11 @@ class Min(ScalarOp):
     def merge(self, ir1, ir2):
         return ir2 if ir2 < ir1 else ir1
 
+    def fold_segments(self, vals, ts, starts):
+        if not _seg_ok(vals):
+            return None
+        return list(np.minimum.reduceat(vals, starts)) if len(vals) else []
+
 
 class Max(ScalarOp):
     def prepare(self, v, ts=None):
@@ -136,6 +174,11 @@ class Max(ScalarOp):
 
     def merge(self, ir1, ir2):
         return ir2 if ir2 > ir1 else ir1
+
+    def fold_segments(self, vals, ts, starts):
+        if not _seg_ok(vals):
+            return None
+        return list(np.maximum.reduceat(vals, starts)) if len(vals) else []
 
 
 class Variance(ScalarOp):
@@ -231,6 +274,11 @@ class First(ScalarOp):
     def finalize(self, ir):
         return ir[1]
 
+    def fold_segments(self, vals, ts, starts):
+        # rows are ts-ascending (stable) per segment: strict < keeps the
+        # first-processed row, i.e. the segment's first element
+        return [(int(ts[s]), vals[s]) for s in starts]
+
 
 class Last(ScalarOp):
     """Equal-ts ties: the LATER-processed row wins (>=).  Rows reach every
@@ -254,6 +302,12 @@ class Last(ScalarOp):
 
     def finalize(self, ir):
         return ir[1]
+
+    def fold_segments(self, vals, ts, starts):
+        # >= keeps the latest-processed row on ts ties: the segment's last
+        # element under the stable ts-ascending order
+        ends = np.append(starts[1:], len(vals))
+        return [(int(ts[e - 1]), vals[e - 1]) for e in ends]
 
 
 class LastK(ScalarOp):

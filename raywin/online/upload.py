@@ -79,56 +79,145 @@ class UploadKernel:
                 )
 
     def __call__(self, group) -> pa.Table:
-        if isinstance(group, pa.Table):
-            group = group.to_pandas()
-        group = group.sort_values("ts", kind="stable")
+        """Vectorized per-bucket kernel (no pandas round-trip, no per-key
+        Python loop over events):
+
+        1. keys factorized via Arrow ``dictionary_encode`` (strings never
+           box) + the offline kernel's radix mix for composite keys;
+        2. one ``lexsort((ts, key))`` orders the bucket into contiguous
+           per-key, ts-ascending segments;
+        3. per part, collapsed IRs and tail-hop tiles are segmented
+           ``ufunc.reduceat`` folds (``ScalarOp.fold_segments``); ops with
+           object IRs (moments, K-ops, sketches) fall back to the per-row
+           fold — but only over their own segment.
+
+        Python touches each KEY once (dict assembly + pickle), never each
+        event."""
         ops = [make_scalar_op(p) for p in self.parts]
         bounds = [
             part_boundaries(p, self.batch_end_ts, self.tail_buffer_ms, self.resolution)
             for p in self.parts
         ]
-        out_keys: list[tuple] = []
+        in_cols = list(dict.fromkeys(p.input_column for p in self.parts))
+        key_dicts: list = []  # per key col: (dictionary, codes) or (None, values)
+        if isinstance(group, pa.Table):
+            import pyarrow.compute as pc
+
+            n = group.num_rows
+            ts = group["ts"].to_numpy(zero_copy_only=False)
+            key_valid = np.ones(n, dtype=bool)
+            code_cols: list[np.ndarray] = []
+            for k in self.key_cols:
+                col = group[k]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if col.null_count:
+                    key_valid &= pc.is_valid(col).to_numpy(zero_copy_only=False)
+                enc = pc.dictionary_encode(col)
+                codes = pc.fill_null(enc.indices, -1).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                key_dicts.append((enc.dictionary, None))
+                code_cols.append(codes)
+            raw_vals = {
+                c: group[c].to_numpy(zero_copy_only=False) for c in in_cols
+            }
+        else:
+            n = len(group)
+            ts = group["ts"].to_numpy()
+            key_valid = np.ones(n, dtype=bool)
+            code_cols = []
+            for k in self.key_cols:
+                arr = group[k].to_numpy()
+                key_valid &= pd.notna(arr)
+                codes, uniques = pd.factorize(arr, use_na_sentinel=False)
+                key_dicts.append((None, np.asarray(uniques, dtype=object)))
+                code_cols.append(codes.astype(np.int64))
+            raw_vals = {c: group[c].to_numpy() for c in in_cols}
+        if not key_valid.all():  # pandas-groupby parity: null keys dropped
+            ridx = np.flatnonzero(key_valid)
+            ts = ts[ridx]
+            code_cols = [c[ridx] for c in code_cols]
+            raw_vals = {c: v[ridx] for c, v in raw_vals.items()}
+        if len(code_cols) == 1:
+            joint = code_cols[0]
+        else:
+            from ..aggregator.kernel import _mix_codes
+
+            joint = _mix_codes(code_cols).astype(np.int64)
+        order = np.lexsort((ts, joint))
+        ts = ts[order]
+        joint = joint[order]
+        code_cols = [c[order] for c in code_cols]
+        raw_vals = {c: v[order] for c, v in raw_vals.items()}
+        n_rows = len(ts)
+        if n_rows == 0:
+            seg_starts = np.zeros(0, dtype=np.int64)
+        else:
+            seg_starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(joint)) + 1)
+            )
+        n_keys = len(seg_starts)
+
+        # per part: collapsed IR per key (object array) + tiles list per key
+        collapsed_parts: list[np.ndarray] = []
+        tiles_parts: list[list] = []
+        for part, op, (lo_min, lo_max, hop) in zip(self.parts, ops, bounds):
+            vals = raw_vals[part.input_column]
+            valid = pd.notna(vals)
+            body = valid if lo_min is None else valid & (ts >= lo_max)
+            collapsed = np.full(n_keys, None, dtype=object)
+            _fold_masked_segments(op, vals, ts, joint, seg_starts, body, collapsed)
+            tiles: list = [[] for _ in range(n_keys)]
+            if lo_min is not None:
+                in_tail = valid & (ts >= lo_min) & (ts < lo_max)
+                if in_tail.any():
+                    t_idx = np.flatnonzero(in_tail)
+                    t_ts = ts[t_idx]
+                    t_vals = vals[t_idx]
+                    t_key = joint[t_idx]
+                    t_tile = (t_ts // hop) * hop
+                    cut = np.flatnonzero(
+                        (np.diff(t_key) != 0) | (np.diff(t_tile) != 0)
+                    ) + 1
+                    st = np.concatenate(([0], cut))
+                    irs = op.fold_segments(t_vals, t_ts, st)
+                    if irs is None:
+                        en = np.append(st[1:], len(t_idx))
+                        irs = [
+                            _fold_slice(op, t_vals, t_ts, s, e)
+                            for s, e in zip(st, en)
+                        ]
+                    seg_key = np.searchsorted(
+                        joint[seg_starts], t_key[st], side="left"
+                    )
+                    for ki, t0, ir in zip(seg_key, t_tile[st], irs):
+                        tiles[ki].append((int(t0), ir))
+            collapsed_parts.append(collapsed)
+            tiles_parts.append(tiles)
+
+        out_cols = [p.output_column for p in self.parts]
         out_blobs: list[bytes] = []
-        for key, sub in group.groupby(self.key_cols, sort=False):
-            key = key if isinstance(key, tuple) else (key,)
-            ts = sub["ts"].to_numpy()
-            ir_row: dict = {}
-            for part, op, (lo_min, lo_max, hop) in zip(self.parts, ops, bounds):
-                vals = sub[part.input_column].to_numpy()
-                valid = pd.notna(vals)
-                collapsed = None
-                tiles: list = []
-                if lo_min is None:  # unbounded: collapse everything
-                    collapsed = _fold(op, vals, ts, valid)
-                else:
-                    in_tail = valid & (ts >= lo_min) & (ts < lo_max)
-                    in_body = valid & (ts >= lo_max)
-                    collapsed = _fold(op, vals, ts, in_body)
-                    if in_tail.any():
-                        t_ts = ts[in_tail]
-                        t_vals = vals[in_tail]
-                        starts = (t_ts // hop) * hop
-                        # events arrive ts-sorted, so tile segments are runs
-                        cut = np.flatnonzero(np.diff(starts)) + 1
-                        seg_starts = np.concatenate(([0], cut))
-                        seg_ends = np.concatenate((cut, [len(starts)]))
-                        for s, e in zip(seg_starts, seg_ends):
-                            ir = None
-                            for i in range(s, e):
-                                ir = (
-                                    op.prepare(t_vals[i], int(t_ts[i]))
-                                    if ir is None
-                                    else op.update(ir, t_vals[i], int(t_ts[i]))
-                                )
-                            tiles.append((int(starts[s]), ir))
-                ir_row[part.output_column] = {"c": collapsed, "t": tiles}
-            out_keys.append(key)
+        for ki in range(n_keys):
+            ir_row = {
+                c: {"c": collapsed_parts[pi][ki], "t": tiles_parts[pi][ki]}
+                for pi, c in enumerate(out_cols)
+            }
             out_blobs.append(pickle.dumps(ir_row, protocol=pickle.HIGHEST_PROTOCOL))
+
         cols = []
         for i, f in enumerate(self.key_fields):
-            cols.append(pa.array([k[i] for k in out_keys], type=f.type))
+            rep = code_cols[i][seg_starts] if n_keys else np.zeros(0, np.int64)
+            dictionary, uniques = key_dicts[i]
+            if dictionary is not None:  # arrow path: unbox only representatives
+                arr = dictionary.take(pa.array(rep, pa.int64()))
+                if arr.type != f.type:
+                    arr = arr.cast(f.type)
+            else:
+                arr = pa.array(uniques[rep], type=f.type)
+            cols.append(arr)
         cols.append(pa.array(out_blobs, type=pa.binary()))
-        cols.append(pa.array(np.full(len(out_keys), self.batch_end_ts, dtype=np.int64)))
+        cols.append(pa.array(np.full(n_keys, self.batch_end_ts, dtype=np.int64)))
         return pa.Table.from_arrays(
             cols,
             schema=pa.schema(
@@ -138,15 +227,39 @@ class UploadKernel:
         )
 
 
-def _fold(op, vals, ts, mask):
+def _fold_slice(op, vals, ts, s: int, e: int):
+    """Sequential prepare/update fold over contiguous rows [s, e) — the
+    reference semantics, used for ops without a vectorized fold."""
     ir = None
-    for i in np.flatnonzero(mask):
+    for i in range(s, e):
         ir = (
             op.prepare(vals[i], int(ts[i]))
             if ir is None
             else op.update(ir, vals[i], int(ts[i]))
         )
     return ir
+
+
+def _fold_masked_segments(op, vals, ts, joint, seg_starts, mask, out):
+    """Fold mask-selected rows of each key segment into out[key_idx].
+
+    Rows are (key, ts)-sorted, so the masked subset stays contiguous per
+    key; folds run as one segmented reduceat when the op supports it."""
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return
+    sub_vals = vals[idx]
+    sub_ts = ts[idx]
+    sub_key = joint[idx]
+    st = np.concatenate(([0], np.flatnonzero(np.diff(sub_key)) + 1))
+    irs = op.fold_segments(sub_vals, sub_ts, st)
+    if irs is None:
+        en = np.append(st[1:], len(idx))
+        irs = [_fold_slice(op, sub_vals, sub_ts, s, e) for s, e in zip(st, en)]
+    ki = np.searchsorted(joint[seg_starts], sub_key[st], side="left")
+    packed = np.empty(len(irs), dtype=object)
+    packed[:] = irs
+    out[ki] = packed
 
 
 def group_by_upload(
