@@ -63,15 +63,21 @@ def ensure_scaling_images():
         FORMATS_MIXED, cache_is_current, generate_image_events,
     )
 
-    marker = os.path.join(SCALING_IMG_DIR, "part-0031.parquet")
+    marker = os.path.join(SCALING_IMG_DIR, "part-0127.parquet")
     if not (os.path.exists(marker) and cache_is_current(SCALING_IMG_DIR, FORMATS_MIXED)):
         import shutil
 
         shutil.rmtree(SCALING_IMG_DIR, ignore_errors=True)
+        # span 365d (like the 10M leg): the 30d percentile window must be
+        # << span or hot-chunk replication ships nearly ALL hot-key history
+        # into every chunk (measured 2.92x row inflation on a 30d-span 6M
+        # table — 23.5M rows into the kernel sort); 128 files so the fused
+        # read->decode stage runs 4 task waves at 32 CPUs instead of one
+        # straggler-bound wave
         generate_image_events(
             SCALING_IMG_DIR, n_rows=SCALING_IMG_ROWS,
-            n_entities=SCALING_IMG_ROWS // 40, files=32, skew=1.2,
-            formats=FORMATS_MIXED,
+            n_entities=SCALING_IMG_ROWS // 40, files=128, skew=1.2,
+            span_days=365, formats=FORMATS_MIXED,
         )
     return SCALING_IMG_DIR
 
@@ -146,12 +152,14 @@ def run_benchmarks():
         # 8 CPUs and hides the straggler, the wide leg can't).  Warmup, then
         # min-of-N timed runs (min resists the sandbox's one-sided noise).
         scaling_dir = ensure_scaling_images()
-        image_feature_backfill(scaling_dir, handle_skew=True).count()
+        image_feature_backfill(scaling_dir, handle_skew=True, read_blocks=128).count()
         best = None
         n_feat = 0
         for _ in range(int(os.environ.get("RAYWIN_SCALING_REPEATS", "2"))):
             t0 = time.perf_counter()
-            n_feat = image_feature_backfill(scaling_dir, handle_skew=True).count()
+            n_feat = image_feature_backfill(
+                scaling_dir, handle_skew=True, read_blocks=128
+            ).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings["image_backfill"] = round(best, 3)
@@ -265,6 +273,58 @@ def run_benchmarks():
     return result
 
 
+def _raw_decode_worker(blobs, n_iter, q):
+    from raywin.stages.jpeg import jpeg_decode
+
+    t0 = time.perf_counter()
+    cnt = 0
+    for _ in range(n_iter):
+        for b in blobs:
+            jpeg_decode(b)
+            cnt += 1
+    q.put((cnt, time.perf_counter() - t0))
+
+
+def raw_decode_control(lo: int, hi: int) -> dict:
+    """Hardware-ceiling control: the SAME decode kernel in bare
+    multiprocessing (no Ray, no shuffle, embarrassingly parallel) at lo and
+    hi processes.  On this shared-host VM per-core throughput falls as
+    active vCPUs rise (hypervisor steal + shared LLC + turbo), so even a
+    perfectly parallel job cannot reach eff 1.0 at 4x width — this measures
+    the ceiling the engine's own efficiency should be judged against.  A
+    real 4N-NODE cluster adds whole sockets and does not share this wall."""
+    import multiprocessing as mp
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(SCALING_IMG_DIR, "part-0000.parquet"), columns=["bytes", "fmt"]
+    )
+    blobs = t.filter(pc.equal(t["fmt"], "jpeg"))["bytes"].to_pylist()[:2000]
+    rates = {}
+    for nproc in (lo, hi):
+        q = mp.Queue()
+        procs = [
+            mp.Process(target=_raw_decode_worker, args=(blobs, 3, q))
+            for _ in range(nproc)
+        ]
+        t0 = time.perf_counter()
+        for p in procs:
+            p.start()
+        res = [q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        wall = time.perf_counter() - t0
+        rates[nproc] = sum(r[0] for r in res) / wall
+    ceiling = (rates[hi] / rates[lo]) / (hi / lo)
+    return {
+        f"raw_decodes_per_sec_{lo}proc": round(rates[lo], 1),
+        f"raw_decodes_per_sec_{hi}proc": round(rates[hi], 1),
+        "hardware_ceiling_eff": round(ceiling, 3),
+    }
+
+
 def run_scaling():
     # cpu pair configurable (default 8 vs 32): on this single box the wide
     # leg saturates memory bandwidth before CPU (the kernel is a streaming
@@ -290,16 +350,24 @@ def run_scaling():
     t_lo = results[lo]["queries"]["image_backfill"]
     t_hi = results[hi]["queries"]["image_backfill"]
     eff = (t_lo / t_hi) / (hi / lo)
+    control = raw_decode_control(lo, hi)
+    scaling = {
+        f"sec_{lo}cpu": t_lo,
+        f"sec_{hi}cpu": t_hi,
+        f"rows_per_sec_{lo}cpu": results[lo]["feature_rows_per_sec"],
+        f"rows_per_sec_{hi}cpu": results[hi]["feature_rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        **control,
+        # the engine's own efficiency, normalized by what the box can do on
+        # an embarrassingly parallel version of the same kernel
+        "engine_relative_eff": round(
+            eff / control["hardware_ceiling_eff"], 3
+        ),
+    }
     print(
         json.dumps(
             {
-                "scaling": {
-                    f"sec_{lo}cpu": t_lo,
-                    f"sec_{hi}cpu": t_hi,
-                    f"rows_per_sec_{lo}cpu": results[lo]["feature_rows_per_sec"],
-                    f"rows_per_sec_{hi}cpu": results[hi]["feature_rows_per_sec"],
-                    "scaling_efficiency": round(eff, 3),
-                },
+                "scaling": scaling,
                 f"full_{lo}": results[lo],
                 f"full_{hi}": results[hi],
             }

@@ -845,16 +845,23 @@ class PartitionAggregator:
         return out
 
     def aggregate_tables(
-        self, events: pa.Table, queries: pa.Table
+        self, events: pa.Table, queries: pa.Table, extra_key_cols=()
     ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
         """Arrow-native path: returns (q_order, per-part result arrays).
 
         The caller reorders the queries table with ``queries.take(q_order)``
-        — passthrough columns never leave Arrow."""
-        return self._core(_ArrowFrame(events), _ArrowFrame(queries))
+        — passthrough columns never leave Arrow.  extra_key_cols joins the
+        entity factorization (hot-key time chunking passes CHUNK_COL so
+        chunk partitions stay separate even when two chunks of one key
+        hash-collide into the same bucket)."""
+        return self._core(
+            _ArrowFrame(events), _ArrowFrame(queries), extra_key_cols
+        )
 
-    def _core(self, evf, qf) -> tuple[np.ndarray, dict[str, np.ndarray]]:
-        ev_ent, q_ent = _factorize_frames(evf, qf, self.key_cols)
+    def _core(self, evf, qf, extra_key_cols=()) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        ev_ent, q_ent = _factorize_frames(
+            evf, qf, self.key_cols + list(extra_key_cols)
+        )
         ev_ts = evf.np_col("ts").astype(np.int64)
         q_ts = qf.np_col("ts").astype(np.int64)
 

@@ -82,6 +82,9 @@ def min_by_group(ds, group_cols: list[str], order_col: str, num_buckets: int = 6
     return out.drop_columns([BUCKET_COL])
 
 
+_ARROW_HOW = {"left": "left outer", "right": "right outer", "outer": "full outer"}
+
+
 class _BucketJoinKernel:
     """map_groups fn: split a co-partitioned bucket by side tag and merge."""
 
@@ -98,7 +101,13 @@ class _BucketJoinKernel:
         side = group["__side"].to_numpy(zero_copy_only=False)
         lt = group.filter(pa_.array(side == 0)).select(self.left_names)
         rt = group.filter(pa_.array(side == 1)).select(self.right_names)
-        return lt.to_pandas().merge(rt.to_pandas(), on=self.on, how=self.how)
+        # Arrow-native hash join: string keys never box (the pandas merge
+        # round-trip boxed every key per group).  Single-threaded inside the
+        # task — the actor/task already owns exactly one CPU slot.
+        return lt.join(
+            rt, keys=self.on, join_type=_ARROW_HOW.get(self.how, self.how),
+            use_threads=False,
+        )
 
 
 def bucketed_left_join(left_ds, right_ds, on: list[str], num_buckets: int = 64, how: str = "left"):
@@ -148,10 +157,12 @@ class _MultiBucketJoinKernel:
         import pyarrow as pa_
 
         side = group["__side"].to_numpy(zero_copy_only=False)
-        out = group.filter(pa_.array(side == 0)).select(self.left_names).to_pandas()
+        out = group.filter(pa_.array(side == 0)).select(self.left_names)
         for i, rn in enumerate(self.right_names_list):
-            rt = group.filter(pa_.array(side == i + 1)).select(rn).to_pandas()
-            out = out.merge(rt, on=self.on, how="left")
+            rt = group.filter(pa_.array(side == i + 1)).select(rn)
+            out = out.join(
+                rt, keys=self.on, join_type="left outer", use_threads=False
+            )
         return out
 
 

@@ -1312,6 +1312,27 @@ def image_backfill_small(sf_dir: str):
     return image_feature_backfill(_ensure_img_small(), num_buckets=8)
 
 
+def image_backfill_skew_small(sf_dir: str):
+    """Flagship with handle_skew=True against the SAME oracle: hot-key
+    detection + time-chunk replication for the bounded parts + the chained
+    unbounded-AVERAGE split must be a pure execution-strategy change (zero
+    result change).  The small table's Zipf entities trip the 2% detector
+    (7 hot keys), so the chunk path runs end to end in the driver gate —
+    reference analogue: the skew-handling assertions around
+    spark/src/test/scala/ai/chronon/spark/test/join/*JoinTest.scala."""
+    import ray.data
+
+    from ..stages.shuffle import detect_hot_keys
+    from .images import image_feature_backfill
+
+    path = _ensure_img_small()
+    hot = detect_hot_keys(
+        ray.data.read_parquet(path, columns=["image_id", "ts"]), "image_id"
+    )
+    assert hot.keys, "skew query ran without hot keys — detector regressed"
+    return image_feature_backfill(path, num_buckets=8, handle_skew=True)
+
+
 def _image_backfill_sql() -> str:
     """Oracle: the same point-in-time windowed aggregation in SQL over the
     generator's truth table (per-row DECODED-pixel features — the decode
@@ -2558,6 +2579,7 @@ ORACLE_QUERIES.update(
         "fingerprint_docs": (fingerprint_docs, _THS["fingerprint_docs"]),
         "temporal_entities": (temporal_entities_demo, _temporal_entities_sql),
         "image_backfill": (image_backfill_small, _image_backfill_sql),
+        "image_backfill_skew": (image_backfill_skew_small, _image_backfill_sql),
         "approx_sketches": (approx_distinct_users, APPROX_SKETCHES_SQL),
         "lsh_ann": (lsh_ann_docs, LSH_ANN_SQL),
         "ivf_ann": (ivf_ann_docs, IVF_ANN_SQL),

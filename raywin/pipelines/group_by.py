@@ -176,10 +176,18 @@ class PartitionKernel:
         if isinstance(group, pd.DataFrame):
             # sort-shuffle pandas fallback: rebuild with the declared schema
             group = _pandas_to_arrow(group, self.union_schema)
+        from ..stages.shuffle import CHUNK_COL
+
         side = group[SIDE_COL].to_numpy(zero_copy_only=False)
         left_names = [n for n in self.left_schema.names]
         is_left = side == 0
-        lt = group.filter(pa.array(is_left)).select(left_names)
+        # hot-key time chunking: the chunk id joins the entity key on BOTH
+        # sides so two chunks of one key that hash-collide into this bucket
+        # stay separate partitions (correctness must not depend on
+        # num_buckets >= number of chunk ids)
+        chunked = CHUNK_COL in group.column_names
+        lt_names = left_names + ([CHUNK_COL] if chunked else [])
+        lt = group.filter(pa.array(is_left)).select(lt_names)
         rt_names = [
             n for n in group.column_names if n not in (BUCKET_COL, SIDE_COL) and n not in left_names
         ] + self.key_cols + ["ts"]
@@ -193,8 +201,10 @@ class PartitionKernel:
         # touches (keys, ts, aggregation inputs) convert to numpy — map
         # columns via per-column maps_as_pydicts — and the query passthrough
         # payload is reordered with Table.take, never boxed through pandas.
-        q_order, results = self.agg.aggregate_tables(rt, lt)
-        taken = lt.take(q_order)
+        q_order, results = self.agg.aggregate_tables(
+            rt, lt, extra_key_cols=(CHUNK_COL,) if chunked else ()
+        )
+        taken = lt.select(left_names).take(q_order)
         cols = []
         for f in self.left_schema:
             c = taken.column(f.name)

@@ -27,6 +27,38 @@ try:  # optional: the production Lance lake reader
 except ImportError:  # pragma: no cover - container has no lance wheel
     _lance = None
 
+try:
+    # Ray's read_parquet path resolution lazily imports
+    # fsspec.implementations.http on EVERY call (_is_http_filesystem) and
+    # catches only ModuleNotFoundError.  In this container the import always
+    # fails (no aiohttp), which is fine single-threaded — but when two
+    # orchestrator threads create readers concurrently, the second sees the
+    # first's partially-initialized module and gets a plain ImportError
+    # ("cannot import name 'HTTPFileSystem'"), which Ray does NOT catch:
+    # flaky step failures.  Import once here; if it fails, seed a stub
+    # module with a sentinel class so every later import is deterministic
+    # (isinstance against the sentinel is False for all real filesystems,
+    # the same outcome as Ray's except branch).
+    import fsspec.implementations.http  # noqa: F401
+except ModuleNotFoundError:  # pragma: no cover - aiohttp absent
+    import sys as _sys
+    import types as _types
+
+    try:
+        import fsspec.implementations as _fsspec_impl
+
+        class _NoHTTPFileSystem:  # sentinel: http filesystem unavailable
+            pass
+
+        _stub = _types.ModuleType("fsspec.implementations.http")
+        _stub.HTTPFileSystem = _NoHTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = _stub
+        _fsspec_impl.http = _stub
+    except Exception:
+        pass
+except Exception:  # pragma: no cover
+    pass
+
 
 def _is_lance(path: str) -> bool:
     return path.rstrip("/").endswith(".lance") or (

@@ -300,3 +300,53 @@ def test_caption_check_stage_batched():
     bad = pa.table({"image_id": ids, "caption": bad_caps})
     with pytest.raises(AssertionError, match="img_00000017"):
         CaptionCheck()(bad)
+
+
+def test_codec_seam_pluggable_webp():
+    """The pluggable-codec seam: a registered 'webp' decoder flows through
+    the full DecodeFeatures stage (schema, batching, PSNR/caption
+    invariants) with zero codec-specific plumbing; unregistered formats
+    raise the documented NotImplementedError."""
+    import pyarrow as pa
+
+    from raywin.stages.images import (
+        DecodeFeatures,
+        decode_image,
+        make_captions_bulk,
+        make_pixels,
+        qimg_decode,
+        qimg_encode,
+        register_codec,
+        unregister_codec,
+    )
+
+    ids = [f"img_{i:08d}" for i in range(6)]
+    pxs = [make_pixels(i, 8, 8) for i in ids]
+    blobs = [b"WEBPFAKE" + qimg_encode(p) for p in pxs]
+    batch = pa.table(
+        {
+            "image_id": ids,
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array([8] * 6, pa.int32()),
+            "h": pa.array([8] * 6, pa.int32()),
+            "fmt": ["webp"] * 6,
+            "caption": make_captions_bulk(ids),
+            "phash": pa.array([0] * 6, pa.int64()),
+            "ts": pa.array(range(6), pa.int64()),
+            "views": pa.array([1] * 6, pa.int64()),
+            "score": pa.array([0.5] * 6),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="webp"):
+        decode_image(blobs[0], "webp")
+    register_codec("webp", lambda b: qimg_decode(b[8:]))
+    try:
+        out = DecodeFeatures(check_invariants=True)(batch)
+        assert out.num_rows == 6
+        assert "bytes" not in out.column_names
+        for c in ("mean_lum", "contrast", "edge_energy"):
+            assert c in out.column_names
+    finally:
+        unregister_codec("webp")
+    with pytest.raises(NotImplementedError, match="register_codec"):
+        decode_image(blobs[0], "webp")

@@ -166,3 +166,29 @@ def test_distributed_detector_no_hot_keys(ray_session, tmp_path):
     pq.write_table(t, path)
     cfg = detect_hot_keys(ray.data.read_parquet(path), "k")
     assert not cfg and cfg.keys == set()
+
+
+def test_hot_chunking_invisible_with_bucket_collisions(ray_session, hot_table):
+    """REGRESSION (round 5): with more chunk ids than buckets, two chunks of
+    one hot key hash into the SAME bucket; the kernel must keep them separate
+    partitions (CHUNK_COL joins the entity factorization) or replicated
+    events double-count.  num_buckets=2 forces collisions; unaligned
+    chunk_ms yields 10+ distinct chunk ids over the 31d span."""
+    import ray.data
+
+    left = ray.data.read_parquet(hot_table, columns=["k", "ts"])
+    base = features_for_queries(
+        _gb(hot_table), left, num_buckets=2, dedupe_queries=True
+    ).to_pandas()
+    hot_cfg = HotKeyConfig({"hot"}, chunk_ms=3 * DAY, ts_max=BASE + 31 * DAY)
+    left2 = ray.data.read_parquet(hot_table, columns=["k", "ts"])
+    chunked = features_for_queries(
+        _gb(hot_table), left2, num_buckets=2, dedupe_queries=True, hot_config=hot_cfg
+    ).to_pandas()
+    assert len(base) == len(chunked)
+    key = ["k", "ts"]
+    b = base.sort_values(key).reset_index(drop=True)
+    c = chunked.sort_values(key).reset_index(drop=True)
+    for col in ("v_sum_7d", "v_sum", "v_count_1d", "v_max_7d"):
+        a1, a2 = b[col].astype(float), c[col].astype(float)
+        assert ((a1.isna() & a2.isna()) | np.isclose(a1, a2, rtol=1e-9, equal_nan=True)).all(), col

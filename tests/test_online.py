@@ -338,3 +338,103 @@ def test_image_serving_lambda_matches_asof_oracle(ray_session, tmp_path):
         x = m[c + "_o"].astype(float)
         y = m[c].astype(float)
         assert ((x.isna() & y.isna()) | (abs(x - y) < 1e-9)).all(), c
+
+
+# ---------------------------------------------------------------------------
+# Property sweep: lambda_aggregate_many vs lambda_aggregate across random
+# window shapes (5min/1h/1d tail hops + unbounded), random seam positions,
+# and random event streams — pins the vectorized serving path the way the
+# offline kernel is pinned (mirrors aggregator/src/test/scala/ai/chronon/
+# aggregator/test/SawtoothOnlineAggregatorTest.scala's config sweep).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = [
+    (Operation.SUM, {}),
+    (Operation.COUNT, {}),
+    (Operation.AVERAGE, {}),
+    (Operation.MIN, {}),
+    (Operation.MAX, {}),
+    (Operation.LAST_K, {"k": 2}),
+    (Operation.UNIQUE_COUNT, {}),
+]
+
+_WINDOWS = st.sampled_from(
+    [None]  # unbounded
+    + [Window(h, TimeUnit.HOURS) for h in (1, 7, 11)]      # 5-min tail hop (<12h)
+    + [Window(h, TimeUnit.HOURS) for h in (13, 36)]        # 1-hour tail hop
+    + [Window(d, TimeUnit.DAYS) for d in (3, 15)]          # 1h / 1-day tail hop
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    specs=st.lists(
+        st.tuples(st.sampled_from(_OPS), _WINDOWS), min_size=1, max_size=4
+    ),
+    n_events=st.integers(0, 250),
+    seam_slot=st.integers(0, 24 * 12 * 6),  # 5-min slots over ~6 days
+    seed=st.integers(0, 2**31),
+)
+def test_lambda_aggregate_many_property_sweep(specs, n_events, seam_slot, seed):
+    import pickle
+
+    from raywin.online.serving import SawtoothOnlineAggregator
+    from raywin.online.upload import IR_COL, UploadKernel
+
+    rng = np.random.default_rng(seed)
+    batch_end = BASE + DAY + seam_slot * MILLIS_5MIN
+    aggs = [
+        Aggregation(op, "v", windows=[w] if w else [Window(-1)], arg_map=am)
+        for (op, am), w in specs
+    ]
+    gb = GroupBy(
+        sources=[EventSource(table="unused", query=Query())],
+        key_columns=["k"],
+        aggregations=aggs,
+        accuracy=Accuracy.TEMPORAL,
+        name="sweep_gb",
+    )
+    parts = gb.agg_parts()
+    ts = np.sort(BASE + rng.integers(0, 8 * DAY, n_events))
+    vals = rng.normal(5, 3, n_events).round(3)
+    vals[rng.random(n_events) < 0.1] = np.nan
+    # batch IR straight from the (driver-local) upload kernel
+    pre = ts < batch_end
+    tbl = pa.table(
+        {
+            "k": pa.array(np.repeat("key", int(pre.sum()))),
+            "ts": pa.array(ts[pre], pa.int64()),
+            "v": pa.array(vals[pre]),
+        }
+    )
+    kernel = UploadKernel(
+        ["k"], parts, batch_end, 2 * DAY, [pa.field("k", pa.string())]
+    )
+    out = kernel(tbl)
+    ir = pickle.loads(out[IR_COL][0].as_py()) if out.num_rows else None
+    # streaming tail
+    post = ts >= batch_end
+    ts_arr = ts[post].astype(np.int64)
+    rows = {"v": vals[post]}
+    if len(ts_arr) == 0:
+        ts_arr, rows = None, None
+    agg = SawtoothOnlineAggregator(gb, batch_end)
+    qts = np.unique(
+        np.concatenate(
+            [
+                [batch_end - HOUR, batch_end, batch_end + 2 * DAY + HOUR],
+                batch_end + rng.integers(0, 2 * DAY, 25),
+            ]
+        ).astype(np.int64)
+    )
+    many = agg.lambda_aggregate_many(ir, ts_arr, rows, qts)
+    for i, q in enumerate(qts):
+        one = agg.lambda_aggregate(ir, ts_arr, rows, int(q))
+        for p in agg.parts:
+            assert many[p.output_column][i] == one[p.output_column], (
+                int(q) - batch_end,
+                p.output_column,
+            )
