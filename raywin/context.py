@@ -1,6 +1,14 @@
 """Engine-level Ray Data context tuning.
 
-One documented knob so far:
+Documented knobs:
+
+``shuffle_strategy = SORT_SHUFFLE_PUSH_BASED`` — the engine's one big
+exchange is ``groupby(bucket).map_groups(kernel)``, which rides Ray Data's
+sort shuffle.  The default pull-based sort serializes map-finish ->
+reduce-start; the push-based variant pipelines merge with map and cut the
+1M-row mixed-codec flagship 14.3 s -> 11.5 s at 32 CPUs (round 5, min-of-2,
+same session pattern).  Values verified unchanged: the kernel receives
+whole co-partitioned groups either way.
 
 ``op_resource_reservation_enabled = False`` — Ray Data's streaming executor
 reserves a fixed share of the CPU budget per operator
@@ -33,3 +41,9 @@ def tune_data_context() -> None:
 
     ctx = ray.data.DataContext.get_current()
     ctx.op_resource_reservation_enabled = False
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except (ImportError, AttributeError):  # older/newer Ray: keep default
+        pass
