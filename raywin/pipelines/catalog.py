@@ -1312,6 +1312,82 @@ def image_backfill_small(sf_dir: str):
     return image_feature_backfill(_ensure_img_small(), num_buckets=8)
 
 
+_PHASH_TBL = "/tmp/raywin_phash_small"
+
+
+def _ensure_phash_table() -> str:
+    """Deterministic phash table WITH planted near-duplicates (the image
+    small table's phashes are effectively random 64-bit values — expected
+    pairwise hamming 32 — so it contains no near-dups to find): 400 base
+    hashes; every 4th id gets a twin with 1-3 bits flipped, every 10th an
+    exact dupe, plus duplicate event rows per id (the DISTINCT exchange is
+    part of what's tested)."""
+    import os
+
+    marker = os.path.join(_PHASH_TBL, "events.parquet")
+    if os.path.exists(marker):
+        return _PHASH_TBL
+    os.makedirs(_PHASH_TBL, exist_ok=True)
+    rng = np.random.default_rng(20260818)
+    n = 400
+    base = rng.integers(0, 2**63, n, dtype=np.int64)
+    ids = [f"ph_{i:05d}" for i in range(n)]
+    add_ids, add_ph = [], []
+    for i in range(0, n, 4):
+        flips = rng.integers(1, 4)
+        ph = int(base[i])
+        for b in rng.choice(64, size=int(flips), replace=False):
+            ph ^= 1 << int(b)
+        if ph >= 2**63:  # keep int64-representable (flip of bit 63)
+            ph -= 2**64
+        add_ids.append(f"ph_{i:05d}_twin")
+        add_ph.append(ph)
+    for i in range(0, n, 10):
+        add_ids.append(f"ph_{i:05d}_copy")
+        add_ph.append(int(base[i]))
+    all_ids = np.array(ids + add_ids, dtype=object)
+    all_ph = np.concatenate([base, np.array(add_ph, dtype=np.int64)])
+    # 3 event rows per image: the pipeline must dedupe before pairing
+    rep = np.tile(np.arange(len(all_ids)), 3)
+    tbl = pa.table(
+        {
+            "image_id": pa.array(all_ids[rep], pa.string()),
+            "phash": pa.array(all_ph[rep], pa.int64()),
+            "ts": pa.array(rng.integers(0, 10**9, len(rep)), pa.int64()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, marker)
+    return _PHASH_TBL
+
+
+def phash_neardup_images(sf_dir: str):
+    """Image near-duplicate PAIRS by perceptual-hash hamming distance —
+    LSH banding (4x16-bit bands, complete recall for dist <= 3) + exact
+    vectorized popcount verify; payloads never ride, see
+    stages/dedup.py:phash_neardup_pairs."""
+    import ray.data
+
+    from ..stages.dedup import phash_neardup_pairs
+
+    path = _ensure_phash_table()
+    ds = ray.data.read_parquet(path, columns=["image_id", "phash"])
+    return phash_neardup_pairs(ds, max_dist=3, num_bands=4, num_buckets=16)
+
+
+def _phash_neardup_sql() -> str:
+    path = _ensure_phash_table()
+    return f"""
+WITH d AS (SELECT DISTINCT image_id, phash
+           FROM read_parquet('{path}/*.parquet'))
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 def image_backfill_skew_small(sf_dir: str):
     """Flagship with handle_skew=True against the SAME oracle: hot-key
     detection + time-chunk replication for the bounded parts + the chained
@@ -2580,6 +2656,7 @@ ORACLE_QUERIES.update(
         "temporal_entities": (temporal_entities_demo, _temporal_entities_sql),
         "image_backfill": (image_backfill_small, _image_backfill_sql),
         "image_backfill_skew": (image_backfill_skew_small, _image_backfill_sql),
+        "phash_neardup": (phash_neardup_images, _phash_neardup_sql),
         "approx_sketches": (approx_distinct_users, APPROX_SKETCHES_SQL),
         "lsh_ann": (lsh_ann_docs, LSH_ANN_SQL),
         "ivf_ann": (ivf_ann_docs, IVF_ANN_SQL),

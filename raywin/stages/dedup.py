@@ -636,3 +636,107 @@ def cosine_neardup_pairs(ds, tau: float, id_col: str = "vec_id",
     import ray.data
 
     return ray.data.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate pairs (image dedup by phash hamming distance)
+# ---------------------------------------------------------------------------
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR; numpy has no bit_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def phash_neardup_pairs(ds, id_col: str = "image_id", phash_col: str = "phash",
+                        max_dist: int = 3, num_bands: int = 4,
+                        num_buckets: int = 32):
+    """Image near-duplicate pairs by perceptual-hash hamming distance.
+
+    LSH banding with COMPLETE recall: split the 64-bit phash into
+    ``num_bands`` equal bands; two hashes within hamming distance
+    ``max_dist`` < num_bands must share at least one untouched band
+    (pigeonhole), so grouping by (band_idx, band_value) surfaces every
+    qualifying pair.  Verification is an exact vectorized popcount(xor).
+
+    Scale shape: one distinct exchange over (id, phash), one groupby over
+    compact (band_idx, band_val, id, phash) rows — payloads never ride —
+    then a pair-level distinct (a pair can match in several bands).  Hot
+    band values (e.g. an all-zero band) create quadratic groups: the
+    standard LSH caveat, bounded here by the 16-bit band cardinality; salt
+    or widen num_bands for adversarial corpora.  Reference analogue: the
+    hot-key analysis in spark Analyzer FrequentItems
+    (spark/src/main/scala/ai/chronon/spark/Analyzer.scala:116-190) — the
+    reference has no image dedup; this is an engine-native addition."""
+    assert 0 < num_bands <= 64 and 64 % num_bands == 0
+    assert max_dist < num_bands, "banding recall guarantee needs max_dist < num_bands"
+    from ..functions.relational import distinct
+    from .shuffle import BUCKET_COL, AddBucket
+
+    band_bits = 64 // num_bands
+    mask = np.uint64((1 << band_bits) - 1)
+
+    uniq = distinct(ds.select_columns([id_col, phash_col]), [id_col, phash_col])
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ph = batch[phash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ph)
+        tiled = batch.select([id_col, phash_col]).take(
+            pa.array(np.tile(np.arange(n, dtype=np.int64), num_bands))
+        )
+        band_idx = np.repeat(np.arange(num_bands, dtype=np.int32), n)
+        vals = np.concatenate(
+            [(ph >> np.uint64(b * band_bits)) & mask for b in range(num_bands)]
+        ) if n else np.zeros(0, np.uint64)
+        tiled = tiled.append_column("__band", pa.array(band_idx))
+        return tiled.append_column("__bval", pa.array(vals.astype(np.int64)))
+
+    bands = uniq.map_batches(explode_bands, batch_format="pyarrow")
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        # a bucket may hold several (band, bval) groups: pair only within
+        out_a, out_b, out_d = [], [], []
+        for _, sub in df.groupby(["__band", "__bval"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            ph = sub[phash_col].to_numpy().astype(np.uint64)
+            ii, jj = np.triu_indices(len(sub), k=1)
+            d = popcount64(ph[ii] ^ ph[jj])
+            keep = d <= max_dist
+            a, b = ids[ii[keep]], ids[jj[keep]]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            out_a.append(a2)
+            out_b.append(b2)
+            out_d.append(d[keep])
+        if not out_a:  # typed empty block: pandas object cols infer as null
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.string()),
+                "id_b": pa.array(np.concatenate(out_b), pa.string()),
+                "dist": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    bucketed = bands.map_batches(
+        AddBucket(["__band", "__bval"], num_buckets), batch_format="pyarrow"
+    )
+    cand = bucketed.groupby(BUCKET_COL).map_groups(
+        pairs_in_group, batch_format="pandas"
+    )
+    # a pair can match in up to num_bands bands: one distinct exchange
+    return distinct(cand, ["id_a", "id_b", "dist"])

@@ -551,3 +551,82 @@ def _generate_image_file(
     os.makedirs(truth_dir, exist_ok=True)
     pq.write_table(truth, os.path.join(truth_dir, f"truth-{fi:04d}.parquet"))
     return path
+
+
+# ---------------------------------------------------------------------------
+# Multimodal preprocessing: vectorized bilinear resize (training-data shape)
+# ---------------------------------------------------------------------------
+
+def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(n, h, w, c) uint8 -> (n, out_h, out_w, c) uint8, vectorized bilinear
+    with half-pixel centers (the OpenCV/PIL 'align_corners=False'
+    convention).  Pure numpy: gather rows/cols once, two lerps."""
+    n, h, w, c = px.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[None, :, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, None, :, None]
+    p = px.astype(np.float64)
+    r0 = p[:, y0]  # (n, out_h, w, c)
+    r1 = p[:, y1]
+    top = r0[:, :, x0] * (1.0 - wx) + r0[:, :, x1] * wx
+    bot = r1[:, :, x0] * (1.0 - wx) + r1[:, :, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class ResizeStage:
+    """Actor-pool map_batches stage: decode -> bilinear resize to a fixed
+    (out_h, out_w) -> emit raw RGB tensors as fixed-size binary + features
+    at the target resolution.  The training-data preprocessing shape:
+    payload bytes are REPLACED by the normalized tensor, never both ride.
+
+    Video frame-sampling plugs into the same seam: register a video codec
+    via register_codec(fmt, fn) returning (frames, h, w, 3) and sample
+    frame indices before this resize (the decode dispatch + batching +
+    schema here are format-agnostic)."""
+
+    def __init__(self, out_h: int, out_w: int):
+        self.out_h = int(out_h)
+        self.out_w = int(out_w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = len(blobs)
+        if n == 0:
+            out = batch.drop_columns(["bytes"])
+            out = out.append_column("pixels", pa.array([], pa.binary()))
+            for c, t in (("out_h", pa.int32()), ("out_w", pa.int32()),
+                         ("mean_lum_rs", pa.float64())):
+                out = out.append_column(c, pa.array([], t))
+            return out
+        resized = np.empty((n, self.out_h, self.out_w, 3), dtype=np.uint8)
+        # decode per image (sizes may differ), resize vectorized per
+        # same-shape run to keep the gather batched
+        pixels = [decode_image(blobs[i], fmts[i]) for i in range(n)]
+        order = np.argsort([p.shape for p in pixels], axis=0)[:, 0]
+        i = 0
+        while i < n:
+            j = i
+            shape = pixels[order[i]].shape
+            while j < n and pixels[order[j]].shape == shape:
+                j += 1
+            idx = order[i:j]
+            resized[idx] = resize_bilinear(
+                np.stack([pixels[k] for k in idx]), self.out_h, self.out_w
+            )
+            i = j
+        lum = 0.299 * resized[..., 0] + 0.587 * resized[..., 1] + 0.114 * resized[..., 2]
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column(
+            "pixels", pa.array([r.tobytes() for r in resized], pa.binary())
+        )
+        out = out.append_column("out_h", pa.array(np.full(n, self.out_h, np.int32)))
+        out = out.append_column("out_w", pa.array(np.full(n, self.out_w, np.int32)))
+        out = out.append_column("mean_lum_rs", pa.array(lum.mean(axis=(1, 2))))
+        return out

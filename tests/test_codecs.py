@@ -350,3 +350,61 @@ def test_codec_seam_pluggable_webp():
         unregister_codec("webp")
     with pytest.raises(NotImplementedError, match="register_codec"):
         decode_image(blobs[0], "webp")
+
+
+def test_resize_bilinear_properties():
+    """Identity resize is exact; constant images stay constant; a linear
+    ramp upsampled 2x stays monotonic with endpoints preserved."""
+    from raywin.stages.images import resize_bilinear
+
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (3, 12, 10, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(resize_bilinear(px, 12, 10), px)
+    const = np.full((2, 7, 9, 3), 77, dtype=np.uint8)
+    assert (resize_bilinear(const, 15, 4) == 77).all()
+    ramp = np.tile(np.arange(0, 250, 25, dtype=np.uint8)[None, None, :, None], (1, 4, 1, 3))
+    up = resize_bilinear(ramp, 4, 20).astype(np.int64)
+    assert (np.diff(up[0, 0, :, 0]) >= 0).all()
+    assert up[0, 0, 0, 0] == 0 and up[0, 0, -1, 0] == 225
+
+
+def test_resize_stage_batch():
+    """ResizeStage: mixed-codec batch -> fixed-size raw tensors, bytes
+    dropped, features computed at target resolution."""
+    import pyarrow as pa
+
+    from raywin.stages.images import (
+        ResizeStage, make_captions_bulk, make_pixels, png_encode, qimg_encode,
+    )
+
+    ids = [f"img_{i:08d}" for i in range(8)]
+    blobs, fmts = [], []
+    for i, d in enumerate(ids):
+        px = make_pixels(d, 8 + 4 * (i % 2), 8)  # two distinct shapes
+        if i % 2:
+            blobs.append(png_encode(px)); fmts.append("png")
+        else:
+            blobs.append(qimg_encode(px)); fmts.append("qimg")
+    batch = pa.table({
+        "image_id": ids,
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": fmts,
+        "caption": make_captions_bulk(ids),
+    })
+    out = ResizeStage(16, 16)(batch)
+    assert out.num_rows == 8 and "bytes" not in out.column_names
+    assert set(out.column_names) >= {"pixels", "out_h", "out_w", "mean_lum_rs"}
+    px0 = np.frombuffer(out["pixels"][0].as_py(), np.uint8).reshape(16, 16, 3)
+    assert px0.shape == (16, 16, 3)
+    assert 0.0 <= out["mean_lum_rs"][0].as_py() <= 255.0
+
+
+def test_popcount64_and_phash_banding():
+    from raywin.stages.dedup import popcount64
+
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 2**63, 1000, dtype=np.int64).astype(np.uint64)
+    expect = np.array([bin(int(x)).count("1") for x in xs])
+    np.testing.assert_array_equal(popcount64(xs), expect)
+    assert popcount64(np.array([0], np.uint64))[0] == 0
+    assert popcount64(np.array([0xFFFFFFFFFFFFFFFF], np.uint64))[0] == 64
