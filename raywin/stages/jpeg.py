@@ -392,6 +392,32 @@ class _BitReader:
     __slots__ = ("buf", "bitpos", "seg_starts")
 
     def __init__(self, data: bytes, pos: int):
+        if len(data) - pos < 2048:
+            # small-scan fast path (web thumbnails): numpy setup costs more
+            # than scanning the handful of 0xFF sites in Python.  RST
+            # streams fall through to the vectorized path.
+            s = data[pos:]
+            q = 0
+            end = len(s)
+            has_rst = False
+            while True:
+                q = s.find(b"\xff", q)
+                if q == -1:
+                    break
+                nxt = s[q + 1] if q + 1 < len(s) else 0xD9
+                if nxt == 0x00:
+                    q += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    has_rst = True
+                    break
+                end = q
+                break
+            if not has_rst:
+                self.buf = s[:end].replace(b"\xff\x00", b"\xff") + b"\xff\xff\xff\xff\xff\xff"
+                self.bitpos = 0
+                self.seg_starts = []
+                return
         arr = np.frombuffer(data, np.uint8, len(data) - pos, pos)
         is_ff = arr == 0xFF
         nxt = np.empty(len(arr), np.uint8)
@@ -413,11 +439,11 @@ class _BitReader:
         drop[rst[rst + 1 < len(arr)] + 1] = True
         keep = ~drop
         kept_idx = np.cumsum(keep) - 1  # original index -> cleaned index
-        self.buf = arr[keep].tobytes() + b"\xff\xff\xff\xff"  # peek padding (1-fill)
+        self.buf = arr[keep].tobytes() + b"\xff\xff\xff\xff\xff\xff"  # peek padding (1-fill)
         self.bitpos = 0
         # cleaned-stream byte offset where the segment AFTER each RST starts
         self.seg_starts = [
-            int(kept_idx[r + 2]) if r + 2 < len(arr) else len(self.buf) - 4 for r in rst
+            int(kept_idx[r + 2]) if r + 2 < len(arr) else len(self.buf) - 6 for r in rst
         ]
     # bit reads happen inline in jpeg_decode's MCU loop (locals-only hot
     # path): peek = (int.from_bytes(buf[i:i+4]) >> (16 - (bitpos & 7)))
@@ -551,56 +577,68 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                 col = mx * hs + k % hs
                 blk_in_comp[ci] += 1
                 zz = [0] * 64
+                # ONE 6-byte window serves huffman code + amplitude bits:
+                # offset(<=7) + code(<=16) + magnitude(<=11) = 34 <= 48
                 i = bitpos >> 3
-                w16 = (from_bytes(buf[i : i + 4], "big") >> (16 - (bitpos & 7))) & 0xFFFF
+                off = bitpos & 7
+                w48 = from_bytes(buf[i : i + 6], "big")
+                w16 = (w48 >> (32 - off)) & 0xFFFF
                 ssss = dc_sym[w16]
                 ln = dc_len[w16]
                 if ln == 0:
                     raise ValueError("corrupt huffman stream")
-                bitpos += ln
                 if ssss:
-                    i = bitpos >> 3
-                    v = (
-                        from_bytes(buf[i : i + 4], "big")
-                        >> (32 - ssss - (bitpos & 7))
-                    ) & ((1 << ssss) - 1)
-                    bitpos += ssss
+                    v = (w48 >> (48 - off - ln - ssss)) & ((1 << ssss) - 1)
+                    bitpos += ln + ssss
                     pred[ci] += v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+                else:
+                    bitpos += ln
                 zz[0] = pred[ci]
                 k2 = 1
                 while k2 <= 63:
                     i = bitpos >> 3
-                    w16 = (
-                        from_bytes(buf[i : i + 4], "big") >> (16 - (bitpos & 7))
-                    ) & 0xFFFF
+                    off = bitpos & 7
+                    w48 = from_bytes(buf[i : i + 6], "big")
+                    w16 = (w48 >> (32 - off)) & 0xFFFF
                     rs = ac_sym[w16]
                     ln = ac_len[w16]
                     if ln == 0:
                         raise ValueError("corrupt huffman stream")
-                    bitpos += ln
                     s = rs & 0xF
                     if s == 0:
+                        bitpos += ln
                         if rs == 0xF0:
                             k2 += 16  # ZRL
                             continue
                         break  # EOB
                     k2 += rs >> 4
-                    i = bitpos >> 3
-                    v = (
-                        from_bytes(buf[i : i + 4], "big") >> (32 - s - (bitpos & 7))
-                    ) & ((1 << s) - 1)
-                    bitpos += s
+                    v = (w48 >> (48 - off - ln - s)) & ((1 << s) - 1)
+                    bitpos += ln + s
                     zz[k2] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                     k2 += 1
                 coefs[ci][row * bw + col] = zz
             mcu_count += 1
 
-    # batched: dezigzag + dequant + IDCT per component
+    # batched: dezigzag + dequant + IDCT — ONE pass over all components'
+    # blocks (a single einsum instead of one per component; for thumbnail-
+    # sized images the per-call numpy overhead dominated the math)
+    all_coefs = coefs[0] if len(coefs) == 1 else np.concatenate(coefs, axis=0)
+    qrows = np.concatenate(
+        [
+            np.broadcast_to(
+                qtables[tq].astype(np.float64), (bh * bw, 64)
+            )
+            for bh, bw, _hs, _vs, tq in shapes
+        ]
+    )
+    px_all = _idct_blocks(all_coefs[:, UNZIGZAG] * qrows)  # (n, 8, 8)
     planes = []
+    off = 0
     for ci in range(len(scan)):
         bh, bw, hs, vs, tq = shapes[ci]
-        nat = coefs[ci][:, UNZIGZAG] * qtables[tq][None, :]
-        px = _idct_blocks(nat.astype(np.float64))  # (n, 8, 8)
+        n_b = bh * bw
+        px = px_all[off : off + n_b]
+        off += n_b
         plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         # upsample to full resolution (sample replication, JFIF default)
         if hs < hmax:
