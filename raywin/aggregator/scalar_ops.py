@@ -111,6 +111,8 @@ class Count(ScalarOp):
         return ir - 1
 
     def fold_segments(self, vals, ts, starts):
+        if not len(starts):
+            return []
         ends = np.append(starts[1:], len(vals))
         return (ends - starts).tolist()
 
@@ -277,7 +279,7 @@ class First(ScalarOp):
     def fold_segments(self, vals, ts, starts):
         # rows are ts-ascending (stable) per segment: strict < keeps the
         # first-processed row, i.e. the segment's first element
-        return [(int(ts[s]), vals[s]) for s in starts]
+        return [(int(ts[s]), vals[s]) for s in starts] if len(starts) else []
 
 
 class Last(ScalarOp):
@@ -306,6 +308,8 @@ class Last(ScalarOp):
     def fold_segments(self, vals, ts, starts):
         # >= keeps the latest-processed row on ts ties: the segment's last
         # element under the stable ts-ascending order
+        if not len(starts):
+            return []
         ends = np.append(starts[1:], len(vals))
         return [(int(ts[e - 1]), vals[e - 1]) for e in ends]
 

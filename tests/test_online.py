@@ -438,3 +438,77 @@ def test_lambda_aggregate_many_property_sweep(specs, n_events, seam_slot, seed):
                 int(q) - batch_end,
                 p.output_column,
             )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 400),
+    n_segs=st.integers(1, 12),
+    dtype=st.sampled_from(["f", "i"]),
+    seed=st.integers(0, 2**31),
+)
+def test_fold_segments_matches_sequential_fold(n, n_segs, dtype, seed):
+    """ScalarOp.fold_segments (segmented reduceat) must agree with the
+    sequential prepare/update fold on every supported op — floats to 1e-9
+    rel (pairwise vs sequential summation), everything else exactly."""
+    from raywin.aggregator.scalar_ops import (
+        Average, Count, First, Last, Max, Min, Sum,
+    )
+    from raywin.online.upload import _fold_slice
+
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 10**6, n)).astype(np.int64)
+    vals = (
+        rng.normal(0, 9, n).round(3)
+        if dtype == "f"
+        else rng.integers(-50, 50, n).astype(np.int64)
+    )
+    if n == 0:  # kernel derives starts from run boundaries: empty -> empty
+        starts = np.zeros(0, dtype=np.int64)
+    else:
+        starts = np.unique(rng.integers(0, n, min(n_segs, n)))
+        starts[0] = 0
+    ends = np.append(starts[1:], n)
+    for op in (Sum(), Count(), Average(), Min(), Max(), First(), Last()):
+        got = op.fold_segments(vals, ts, starts)
+        assert got is not None and len(got) == len(starts)
+        for g, s, e in zip(got, starts, ends):
+            exp = _fold_slice(op, vals, ts, int(s), int(e))
+            if e == s:
+                # reduceat on an empty segment yields vals[s] (numpy
+                # semantics); the upload kernel never produces empty
+                # segments (starts come from run boundaries), so skip
+                continue
+            fg, fe = op.finalize(g), op.finalize(exp)
+            if isinstance(fe, float):
+                assert fg == pytest.approx(fe, rel=1e-9, nan_ok=True)
+            else:
+                assert fg == fe, (type(op).__name__, s, e)
+
+
+def test_upload_kernel_pandas_arrow_agree(ray_session, online_fixture):
+    """UploadKernel's pandas fallback block path must produce byte-identical
+    IR blobs to the arrow path for the same co-partitioned group."""
+    import pickle
+
+    import pyarrow as pa
+
+    from raywin.online.upload import IR_COL, UploadKernel
+
+    df, path, gb = online_fixture
+    parts = [p for p in gb.agg_parts()]
+    kernel = UploadKernel(
+        ["k"], parts, BATCH_END, 2 * DAY, [pa.field("k", pa.string())]
+    )
+    sub = df[df["ts"] < BATCH_END].reset_index(drop=True)
+    out_arrow = kernel(pa.Table.from_pandas(sub, preserve_index=False))
+    out_pandas = kernel(sub)
+    assert out_arrow.num_rows == out_pandas.num_rows
+    ka = out_arrow["k"].to_pylist()
+    kp = out_pandas["k"].to_pylist()
+    ba = dict(zip(ka, out_arrow[IR_COL].to_pylist()))
+    bp = dict(zip(kp, out_pandas[IR_COL].to_pylist()))
+    assert set(ba) == set(bp)
+    for k in ba:
+        ia, ip = pickle.loads(ba[k]), pickle.loads(bp[k])
+        assert repr(ia) == repr(ip), k
