@@ -1388,6 +1388,62 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+_VIDEO_TBL = "/tmp/raywin_video_small"
+_VIDEO_K = 4
+
+
+def _ensure_video_table() -> str:
+    import os
+
+    from ..stages.video import VIDEO_GENERATOR_VERSION, generate_video_events
+
+    marker = os.path.join(_VIDEO_TBL, "_GENERATOR_VERSION")
+    if os.path.exists(marker) and open(marker).read() == VIDEO_GENERATOR_VERSION:
+        return _VIDEO_TBL
+    import shutil
+
+    shutil.rmtree(_VIDEO_TBL, ignore_errors=True)
+    shutil.rmtree(_VIDEO_TBL + "_truth", ignore_errors=True)
+    generate_video_events(_VIDEO_TBL, n_videos=200)
+    return _VIDEO_TBL
+
+
+def video_frame_sample(sf_dir: str):
+    """Multimodal frame-sampling: probe each video's header, uniformly
+    sample ~k frames, seek-decode ONLY those (the qvid container's index
+    table makes the k-of-n read touch k frames' bytes), emit per-frame
+    pixel features; PSNR/caption invariants enforced per sampled frame.
+    See stages/video.py — brief-mandated net-new surface (no chronon
+    counterpart; payloads there are opaque thrift binary columns)."""
+    import ray.data
+
+    from ..stages.video import FrameSampleStage
+
+    path = _ensure_video_table()
+    ds = ray.data.read_parquet(
+        path, columns=["video_id", "bytes", "fmt", "caption", "ts"]
+    )
+    ds = ds.map_batches(
+        FrameSampleStage(_VIDEO_K), batch_format="pyarrow", batch_size=64
+    )
+    return ds.select_columns(
+        ["video_id", "frame_idx", "n_frames", "mean_lum", "contrast", "edge_energy"]
+    )
+
+
+def _video_frame_sample_sql() -> str:
+    """Oracle: the stride rule frame_idx % ceil(n_frames/k) == 0 recomputed
+    in SQL over the generator's per-frame truth table (features of the
+    DECODED frames, so values match the stage bitwise)."""
+    path = _ensure_video_table()
+    k = _VIDEO_K
+    return f"""
+SELECT video_id, frame_idx, n_frames, mean_lum, contrast, edge_energy
+FROM read_parquet('{path}_truth/truth-*.parquet')
+WHERE frame_idx % ((n_frames + {k - 1}) // {k}) = 0
+"""
+
+
 def image_backfill_skew_small(sf_dir: str):
     """Flagship with handle_skew=True against the SAME oracle: hot-key
     detection + time-chunk replication for the bounded parts + the chained
@@ -2657,6 +2713,7 @@ ORACLE_QUERIES.update(
         "image_backfill": (image_backfill_small, _image_backfill_sql),
         "image_backfill_skew": (image_backfill_skew_small, _image_backfill_sql),
         "phash_neardup": (phash_neardup_images, _phash_neardup_sql),
+        "video_frame_sample": (video_frame_sample, _video_frame_sample_sql),
         "approx_sketches": (approx_distinct_users, APPROX_SKETCHES_SQL),
         "lsh_ann": (lsh_ann_docs, LSH_ANN_SQL),
         "ivf_ann": (ivf_ann_docs, IVF_ANN_SQL),
