@@ -30,6 +30,31 @@ wash (interleaved runs 265/182 s OFF vs 395/220 s ON, trend dominated by
 page-cache warmup), so the engine turns reservation off globally for its
 sessions.  The flag is STICKY on the session's DataContext — execution
 happens later (datasets are lazy), so it cannot be scoped-and-restored.
+
+``_max_num_blocks_in_streaming_gen_buffer = 128`` (default 2) — deadlock
+fix, found round 5 when the full bench wedged twice at 8 CPUs.  Ray
+2.49's ``AllToAllOperator.all_inputs_done()`` runs the whole sort
+``bulk_fn`` SYNCHRONOUSLY on the streaming executor's scheduling-loop
+thread (base_physical_operator.py:110-119), and that loop is also the
+only consumer of every other operator's streaming-generator outputs.  In
+a multi-branch plan (e.g. online_serving: three ReadParquet branches,
+two sorts, a union), one branch's sort can reach all-inputs-done while
+another branch's read tasks are still running; with the default 2-block
+generator buffer those readers pause in
+``GeneratorBackpressureWaiter::WaitUntilObjectConsumed`` after two
+unconsumed blocks — STILL HOLDING THEIR CPU SLOT.  Once paused readers
+hold every slot, the sort's map tasks can never schedule and the blocked
+loop never drains the readers: verified deadlock (faulthandler stacks of
+all 8 workers parked in WaitUntilObjectConsumed; ray status 8/8 CPU with
+the sort's tasks pending).  With a 128-block buffer a producer task
+finishes its fragment and RELEASES the CPU instead of pausing mid-task —
+read tasks here yield 2-8 blocks, map tasks one block per output batch.
+Extra object-store footprint is bounded by (running tasks x blocks per
+task) and spillable; new task dispatch is paused anyway while a bulk_fn
+blocks the loop.  Plans whose producers can exceed 128 blocks per task
+(the 10M decode legs: ~153) are single-exchange shapes where the sort
+only starts after every upstream task has completed, so no producer can
+be mid-flight while the loop is blocked.
 """
 
 from __future__ import annotations
@@ -41,6 +66,10 @@ def tune_data_context() -> None:
 
     ctx = ray.data.DataContext.get_current()
     ctx.op_resource_reservation_enabled = False
+    # Deadlock fix (see module docstring): producer tasks must be able to
+    # finish and release their CPU while an AllToAll bulk_fn blocks the
+    # scheduling loop, instead of pausing on a 2-block generator buffer.
+    ctx._max_num_blocks_in_streaming_gen_buffer = 128
     try:
         from ray.data.context import ShuffleStrategy
 
