@@ -26,6 +26,13 @@ from ..api import (
     TimeUnit,
     Window,
 )
+from ..context import tune_data_context
+
+# Engine context (shuffle strategy, reservation, generator-buffer deadlock
+# fix — see raywin/context.py) must cover EVERY entry path, including the
+# driver calling queries() directly; DataContext is a process singleton so
+# applying it at catalog import is safe with or without ray.init.
+tune_data_context()
 
 # kernel co-partition width: ~2x the CPU count so the slowest bucket can't
 # straddle the whole run; on a multi-node cluster set RAYWIN_NUM_BUCKETS to
@@ -1444,6 +1451,64 @@ WHERE frame_idx % ((n_frames + {k - 1}) // {k}) = 0
 """
 
 
+_AUDIO_TBL = "/tmp/raywin_audio_small"
+_AUDIO_K = 4
+
+
+def _ensure_audio_table() -> str:
+    import os
+
+    from ..stages.audio import AUDIO_GENERATOR_VERSION, generate_audio_events
+
+    marker = os.path.join(_AUDIO_TBL, "_GENERATOR_VERSION")
+    if os.path.exists(marker) and open(marker).read() == AUDIO_GENERATOR_VERSION:
+        return _AUDIO_TBL
+    import shutil
+
+    shutil.rmtree(_AUDIO_TBL, ignore_errors=True)
+    shutil.rmtree(_AUDIO_TBL + "_truth", ignore_errors=True)
+    generate_audio_events(_AUDIO_TBL, n_clips=200)
+    return _AUDIO_TBL
+
+
+def audio_window_features(sf_dir: str):
+    """Multimodal audio windowing: probe each clip's header, uniformly
+    sample ~k windows (same SQL-reproducible stride rule as the video
+    stage), seek-decode ONLY those (the qaud container's index table makes
+    the k-of-n read touch k windows' bytes), emit per-window RMS /
+    zero-crossing / spectral-centroid features; SNR/caption invariants
+    enforced per sampled window.  See stages/audio.py — brief-mandated
+    net-new surface (no chronon counterpart; payloads there are opaque
+    thrift binary columns)."""
+    import ray.data
+
+    from ..stages.audio import AudioWindowStage
+
+    path = _ensure_audio_table()
+    ds = ray.data.read_parquet(
+        path, columns=["audio_id", "bytes", "fmt", "caption", "ts"]
+    )
+    ds = ds.map_batches(
+        AudioWindowStage(_AUDIO_K), batch_format="pyarrow", batch_size=64
+    )
+    return ds.select_columns(
+        ["audio_id", "window_idx", "n_windows", "rms", "zcr", "spectral_centroid"]
+    )
+
+
+def _audio_window_features_sql() -> str:
+    """Oracle: the stride rule window_idx % ceil(n_windows/k) == 0
+    recomputed in SQL over the generator's per-window truth table
+    (features of the DECODED windows, so values match the stage bitwise)."""
+    path = _ensure_audio_table()
+    k = _AUDIO_K
+    return f"""
+SELECT audio_id, window_idx, n_windows, rms, zcr, spectral_centroid
+FROM read_parquet('{path}_truth/truth-*.parquet')
+WHERE window_idx % ((n_windows + {k - 1}) // {k}) = 0
+"""
+
+
 def image_backfill_skew_small(sf_dir: str):
     """Flagship with handle_skew=True against the SAME oracle: hot-key
     detection + time-chunk replication for the bounded parts + the chained
@@ -2714,6 +2779,7 @@ ORACLE_QUERIES.update(
         "image_backfill_skew": (image_backfill_skew_small, _image_backfill_sql),
         "phash_neardup": (phash_neardup_images, _phash_neardup_sql),
         "video_frame_sample": (video_frame_sample, _video_frame_sample_sql),
+        "audio_window_features": (audio_window_features, _audio_window_features_sql),
         "approx_sketches": (approx_distinct_users, APPROX_SKETCHES_SQL),
         "lsh_ann": (lsh_ann_docs, LSH_ANN_SQL),
         "ivf_ann": (ivf_ann_docs, IVF_ANN_SQL),
