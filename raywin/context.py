@@ -55,6 +55,15 @@ blocks the loop.  Plans whose producers can exceed 128 blocks per task
 (the 10M decode legs: ~153) are single-exchange shapes where the sort
 only starts after every upstream task has completed, so no producer can
 be mid-flight while the loop is blocked.
+
+Buffer-size A/B (round 5, idle machine, 10M-row skew leg at 32 CPUs,
+min-of-2 in fresh interleaved processes): buf=2 90.2 s, buf=16 90.1 s,
+buf=128 83.2 s — indistinguishable within sandbox noise, so the generous
+value costs nothing on the buffer-heaviest leg; buf=16 also passed 4/4
+full-bench wedge trials at 8 CPUs, i.e. the fix has an 8x margin over the
+2-8 blocks wedge-shape producers actually yield.  ``RAYWIN_GEN_BUFFER``
+overrides per deployment (memory-tight clusters can drop to 16 with no
+measured cost).
 """
 
 from __future__ import annotations
@@ -62,6 +71,8 @@ from __future__ import annotations
 
 def tune_data_context() -> None:
     """Apply the engine's Ray Data context defaults (idempotent, sticky)."""
+    import os
+
     import ray.data
 
     ctx = ray.data.DataContext.get_current()
@@ -69,7 +80,10 @@ def tune_data_context() -> None:
     # Deadlock fix (see module docstring): producer tasks must be able to
     # finish and release their CPU while an AllToAll bulk_fn blocks the
     # scheduling loop, instead of pausing on a 2-block generator buffer.
-    ctx._max_num_blocks_in_streaming_gen_buffer = 128
+    # RAYWIN_GEN_BUFFER overrides for experiments / per-deployment tuning.
+    ctx._max_num_blocks_in_streaming_gen_buffer = int(
+        os.environ.get("RAYWIN_GEN_BUFFER", "128")
+    )
     try:
         from ray.data.context import ShuffleStrategy
 
