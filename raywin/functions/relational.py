@@ -205,6 +205,123 @@ def bucketed_multi_left_join(left_ds, rights, on: list[str], num_buckets: int = 
     return bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format="pyarrow")
 
 
+class _RangeJoinKernel:
+    """map_groups fn: Arrow equi-join on key+chunk, then a vectorized
+    range filter start <= ts < end."""
+
+    def __init__(self, on, left_names, right_names, left_ts, right_start, right_end):
+        self.__name__ = "RangeJoin"
+        self.on = list(on)
+        self.left_names = left_names
+        self.right_names = right_names
+        self.left_ts = left_ts
+        self.right_start = right_start
+        self.right_end = right_end
+
+    def __call__(self, group):
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+
+        from ..stages.shuffle import CHUNK_COL
+
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        lt = group.filter(pa_.array(side == 0)).select(self.left_names + [CHUNK_COL])
+        rt = group.filter(pa_.array(side == 1)).select(self.right_names + [CHUNK_COL])
+        j = lt.join(
+            rt, keys=self.on + [CHUNK_COL], join_type="inner", use_threads=False
+        )
+        mask = pc_.and_(
+            pc_.greater_equal(j[self.left_ts], j[self.right_start]),
+            pc_.less(j[self.left_ts], j[self.right_end]),
+        )
+        return j.filter(mask).drop_columns([CHUNK_COL])
+
+
+def bucketed_range_join(
+    left_ds,
+    right_ds,
+    on: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    chunk_ms: int,
+    num_buckets: int = 64,
+):
+    """Keyed interval (range) join: left point rows x right interval rows,
+    matching on equi-keys AND ``start <= ts < end`` (end exclusive).
+
+    Scale design — ONE hash(key, time-chunk) co-partitioning exchange:
+    each left row lands in exactly ONE chunk (``ts // chunk_ms``); each
+    right interval is REPLICATED into every chunk it overlaps
+    (``ceil(len/chunk_ms)+1`` copies — bounded when ``chunk_ms`` is sized
+    to the typical interval length, ~2x at chunk_ms = max interval).
+    Because a left row exists in one chunk only, every match is found
+    group-locally and found exactly once — no post-dedup pass.  Per group:
+    an Arrow hash join on key+chunk (string keys never box), then a
+    vectorized range filter.  No global sort, no driver state; skewed keys
+    spread across chunks the same way the hot-key chunking path does.
+
+    Precondition: timestamps/interval bounds are non-negative int64 (epoch
+    ms) — AddBucket mixes the chunk into the shuffle hash only for
+    chunk >= 0.  Non-key column names of the two sides must be disjoint.
+
+    Reference analogue: Chronon expresses interval enrichment as a
+    range-filtered scan + join inside Spark
+    (spark/src/main/scala/ai/chronon/spark/GroupBy.scala window scan
+    ranges); here it is a first-class co-partitioned Ray Data operator.
+    """
+    import numpy as np_
+    import pyarrow as pa_
+
+    from ..pipelines.group_by import _arrow_schema
+    from ..stages.shuffle import (
+        BUCKET_COL, CHUNK_COL, SIDE_COL, AddBucket, pad_to_schema, unify_schemas,
+    )
+
+    l_schema = _arrow_schema(left_ds)
+    r_schema = _arrow_schema(right_ds)
+    chunk_field = {CHUNK_COL: pa_.int64()}
+    unified = unify_schemas(l_schema, r_schema, {**chunk_field, SIDE_COL: pa_.int8()})
+
+    def chunk_left(batch: pa_.Table) -> pa_.Table:
+        ts = batch[left_ts].to_numpy(zero_copy_only=False).astype(np_.int64)
+        batch = batch.append_column(
+            CHUNK_COL, pa_.array(ts // chunk_ms, type=pa_.int64())
+        )
+        batch = batch.append_column(
+            SIDE_COL, pa_.array(np_.zeros(len(batch), dtype=np_.int8))
+        )
+        return pad_to_schema(batch, unified)
+
+    def replicate_right(batch: pa_.Table) -> pa_.Table:
+        s = batch[right_start].to_numpy(zero_copy_only=False).astype(np_.int64)
+        e = batch[right_end].to_numpy(zero_copy_only=False).astype(np_.int64)
+        c0 = s // chunk_ms
+        # end is exclusive; degenerate (empty) intervals still get one copy
+        # and are dropped by the range filter
+        c1 = np_.maximum((e - 1) // chunk_ms, c0)
+        reps = c1 - c0 + 1
+        idx = np_.repeat(np_.arange(len(batch), dtype=np_.int64), reps)
+        base = np_.cumsum(reps) - reps
+        offs = np_.arange(int(reps.sum()), dtype=np_.int64) - np_.repeat(base, reps)
+        chunks = c0[idx] + offs
+        out = batch.take(idx)
+        out = out.append_column(CHUNK_COL, pa_.array(chunks, type=pa_.int64()))
+        out = out.append_column(
+            SIDE_COL, pa_.array(np_.ones(len(out), dtype=np_.int8))
+        )
+        return pad_to_schema(out, unified)
+
+    unioned = left_ds.map_batches(chunk_left, batch_format="pyarrow").union(
+        right_ds.map_batches(replicate_right, batch_format="pyarrow")
+    )
+    bucketed = unioned.map_batches(AddBucket(list(on), num_buckets), batch_format="pyarrow")
+    kernel = _RangeJoinKernel(
+        on, list(l_schema.names), list(r_schema.names), left_ts, right_start, right_end
+    )
+    return bucketed.groupby(BUCKET_COL).map_groups(kernel, batch_format="pyarrow")
+
+
 def broadcast_lookup_join(ds, small_df, on: list[str], how: str = "inner"):
     """Join a Dataset against a SMALL pandas table without a shuffle: the
     small side is put in the object store once (ray.put) and merged per batch

@@ -462,6 +462,52 @@ FROM y
 """
 
 
+def range_join_windows(sf_dir: str):
+    """Keyed interval join: enrich every non-purchase event with each
+    6-hour window opened by a purchase event of the SAME user whose
+    window contains the event's timestamp.  Exercises the co-partitioned
+    range-join operator (one hash(key, time-chunk) exchange, intervals
+    replicated per overlapped chunk, group-local Arrow join + range
+    filter) — the brief's named "range join" custom-operator example."""
+    from ..functions.relational import bucketed_range_join
+    from ..stages.query import SqlBatch
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    left = _events_ds(sf_dir, cols).map_batches(
+        SqlBatch(
+            "SELECT event_id, user_id, epoch_ms(ts) AS ts, event_type "
+            "FROM batch WHERE event_type <> 'purchase'"
+        ),
+        batch_format="pyarrow",
+    )
+    right = _events_ds(sf_dir, cols).map_batches(
+        SqlBatch(
+            "SELECT event_id AS win_id, user_id, epoch_ms(ts) AS w_start, "
+            "epoch_ms(ts) + 21600000 AS w_end "
+            "FROM batch WHERE event_type = 'purchase'"
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_range_join(
+        left, right, on=["user_id"], left_ts="ts",
+        right_start="w_start", right_end="w_end",
+        chunk_ms=6 * 3600 * 1000, num_buckets=N_BUCKETS,
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH win AS (SELECT event_id AS win_id, user_id, epoch_ms(ts) AS w_start,
+                    epoch_ms(ts) + 21600000 AS w_end
+             FROM events WHERE event_type = 'purchase')
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts, e.event_type,
+       w.win_id, w.w_start, w.w_end
+FROM events e JOIN win w
+  ON e.user_id = w.user_id
+ AND epoch_ms(e.ts) >= w.w_start AND epoch_ms(e.ts) < w.w_end
+WHERE e.event_type <> 'purchase'
+"""
+
+
 # ------------------------------------------------------- snapshot & join
 
 
@@ -2753,6 +2799,7 @@ ORACLE_QUERIES = {
     "approx_histogram": (approx_histogram_exploded, ASOF_HISTOGRAM_SQL),
     "lag_lead": (lag_lead_events, LAG_LEAD_SQL),
     "sessionize": (sessionize_30m, SESSIONIZE_SQL),
+    "range_join": (range_join_windows, RANGE_JOIN_SQL),
     "snapshot_daily": (snapshot_daily, SNAPSHOT_SQL),
     "join_enrich": (join_enrich, JOIN_ENRICH_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
