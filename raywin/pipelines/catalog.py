@@ -945,6 +945,38 @@ FROM x
 """
 
 
+def token_counts_docs(sf_dir: str):
+    """Whitespace + BPE-style pre-tokenizer counts per document (the
+    brief's "token counting (whitespace + a BPE-ish regex)" item)."""
+    import ray.data
+
+    from ..stages.text import TokenCount
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TokenCount("text"), batch_format="pandas")
+    return out.select_columns(
+        ["doc_id", "n_ws_tokens", "n_bpe_tokens", "punct_token_ratio"]
+    )
+
+
+TOKEN_COUNTS_SQL = r"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+x AS (SELECT doc_id,
+  len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS n_ws,
+  len(regexp_extract_all(text,
+      '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v'']+|''')) AS n_bpe,
+  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)')) AS n_contr,
+  len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r\f\v'']+|''')) AS n_punct_raw
+FROM t)
+SELECT doc_id,
+  CAST(n_ws AS BIGINT) AS n_ws_tokens,
+  CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN n_bpe > 0 THEN CAST(n_punct_raw - n_contr AS DOUBLE) / n_bpe END
+    AS punct_token_ratio
+FROM x
+"""
+
+
 def ann_cosine_topk(sf_dir: str):
     import ray.data
 
@@ -2806,6 +2838,7 @@ ORACLE_QUERIES = {
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
     "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "text_stats": (text_stats_docs, TEXT_STATS_SQL),
+    "token_counts": (token_counts_docs, TOKEN_COUNTS_SQL),
     "repetition_stats": (repetition_stats_docs, REPETITION_STATS_SQL),
     "pii_scrub": (pii_scrub_docs, PII_SCRUB_SQL),
     "paragraph_dedup": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),

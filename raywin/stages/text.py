@@ -49,6 +49,44 @@ class TextStats:
         return batch
 
 
+_WS = " \\t\\n\\r\\f\\v"  # explicit ASCII whitespace: Python re and RE2 agree
+
+
+class TokenCount:
+    """Whitespace + BPE-style pre-tokenizer token counts (the brief's
+    "token counting (whitespace + a BPE-ish regex)" item).
+
+    n_ws_tokens  = maximal non-whitespace runs.
+    n_bpe_tokens = matches of a GPT-2-style pre-tokenizer: contraction
+    suffixes ('s 't 're 've 'll 'd 'm), letter runs, digit runs, and
+    punctuation runs — the split BPE merge tables operate on.  Alternatives
+    are disjoint-prefixed, so leftmost-first (Python re) and
+    leftmost-longest (RE2 POSIX mode) tokenize identically, and the
+    whitespace class is spelled out in ASCII so both engines agree on any
+    input.  punct_token_ratio = punctuation runs / bpe tokens."""
+
+    BPE_PAT = f"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS}']+|'"
+    WS_PAT = f"[^{_WS}]+"
+    PUNCT_PAT = f"[^A-Za-z0-9{_WS}']+|'"
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        n_bpe = s.str.count(self.BPE_PAT).astype("int64")
+        # contraction matches start with ' and are not punct runs; a lone '
+        # (not followed by a contraction suffix) counts as punctuation
+        n_contr = s.str.count("'(?:[sdmt]|ll|ve|re)").astype("int64")
+        n_punct = s.str.count(self.PUNCT_PAT).astype("int64") - n_contr
+        batch["n_ws_tokens"] = s.str.count(self.WS_PAT).astype("int64")
+        batch["n_bpe_tokens"] = n_bpe
+        batch["punct_token_ratio"] = np.where(
+            n_bpe > 0, n_punct / n_bpe.clip(lower=1), np.nan
+        )
+        return batch
+
+
 class QualityScore:
     """Heuristic document quality in [0,1]: length band + alpha ratio +
     repetition penalty (distinct-token ratio).  ASCII token class + explicit

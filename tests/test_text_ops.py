@@ -97,3 +97,39 @@ def test_duplicate_span_stats(ray_session):
     assert out["n_grams"].tolist() == [2, 2, 3]
     assert out["dup_gram_frac"].tolist() == [1.0, 1.0, 0.0]
     assert out["max_gram_freq"].tolist() == [2, 2, 1]
+
+
+def test_token_count_edges_vs_oracle():
+    """TokenCount (pandas/re) must tokenize identically to the DuckDB/RE2
+    oracle on contraction, quote, and whitespace edge cases."""
+    import duckdb
+
+    from raywin.stages.text import TokenCount
+
+    texts = [
+        "don't stop, it's 2024's best-seller!",
+        "''quoted'' 'sx 'll alone ' and trailing'",
+        "tabs\tand\nnewlines\r\n  multiple   spaces",
+        "digits123mixed456 !!!'!! ,,,''",
+        "", None, "'", "'s", "x'sx'llx're",
+        "a'd b'm c've d're e'll f's g't",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = TokenCount("text")(df.copy())
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    from raywin.pipelines.catalog import TOKEN_COUNTS_SQL
+
+    exp = con.execute(TOKEN_COUNTS_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    got = out[["doc_id", "n_ws_tokens", "n_bpe_tokens", "punct_token_ratio"]]
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_ws_tokens": "int64", "n_bpe_tokens": "int64"}),
+        exp.astype({"n_ws_tokens": "int64", "n_bpe_tokens": "int64"}),
+        check_exact=False,
+    )
+    # spot-check the rule itself: "don't" -> don / 't ; "2024's" -> 2024 / 's
+    row = out.loc[0]
+    assert row["n_ws_tokens"] == 5
+    assert row["n_bpe_tokens"] == 12
