@@ -1365,6 +1365,75 @@ def ivf_ann_docs(sf_dir: str):
 IVF_ANN_SQL = LSH_ANN_SQL
 
 
+def kmeans_clusters(sf_dir: str):
+    """Full-corpus distributed Lloyd's k-means over the embeddings table
+    (stages/kmeans.py): per-iteration one streaming pass with broadcast
+    centroids + per-batch partial sums; the oracle unrolls the identical
+    iterations in SQL.  k=4 seeds from vec_id<4, 3 Lloyd updates, final
+    assignment labels every row."""
+    import ray.data
+
+    from ..stages.kmeans import kmeans_cluster
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_cluster(ds, "embedding", "vec_id", k=4, iters=3)
+
+
+def _kmeans_sql() -> str:
+    from ..stages.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql("embeddings", "embedding", "vec_id", k=4, iters=3, dim=64)
+
+
+def dataset_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split of the documents table by
+    splitmix64(doc_id) — stable under re-runs, engine changes, and appends
+    (stages/splits.py)."""
+    import ray.data
+
+    from ..stages.splits import hash_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(ds, "doc_id")
+
+
+def _dataset_split_sql() -> str:
+    from ..functions.texthash import sql_splitmix64_ctes
+
+    return (
+        "WITH " + sql_splitmix64_ctes("documents", "doc_id", "doc_id", "hs")
+        + "\nSELECT doc_id, CASE WHEN h % 100 < 80 THEN 'train'"
+        " WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM hs"
+    )
+
+
+def stratified_sample_embeddings(sf_dir: str):
+    """Deterministic class-balanced sample: the 10 lowest-hash vec_ids per
+    label (stages/splits.py stratified_sample — per-block top-n prune, one
+    tiny stratum exchange)."""
+    import ray.data
+
+    from ..stages.splits import stratified_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    return stratified_sample(ds, "label", "vec_id", 10)
+
+
+def _stratified_sample_sql() -> str:
+    from ..functions.texthash import sql_splitmix64_ctes
+
+    return (
+        "WITH " + sql_splitmix64_ctes("embeddings", "vec_id", "vec_id, label", "hs")
+        + ",\nr AS (SELECT label, vec_id, row_number() OVER"
+        " (PARTITION BY label ORDER BY h, vec_id) AS rank FROM hs)"
+        "\nSELECT label, vec_id, rank FROM r WHERE rank <= 10"
+    )
+
+
 _IMG_SMALL_PATH = "/tmp/raywin_img_small"
 
 
@@ -2863,6 +2932,9 @@ ORACLE_QUERIES.update(
         "approx_sketches": (approx_distinct_users, APPROX_SKETCHES_SQL),
         "lsh_ann": (lsh_ann_docs, LSH_ANN_SQL),
         "ivf_ann": (ivf_ann_docs, IVF_ANN_SQL),
+        "kmeans_clusters": (kmeans_clusters, _kmeans_sql),
+        "dataset_split": (dataset_split, _dataset_split_sql),
+        "stratified_sample": (stratified_sample_embeddings, _stratified_sample_sql),
         "drift_stats": (drift_stats_demo, DRIFT_STATS_SQL),
         "list_explode_agg": (list_explode_agg, LIST_EXPLODE_SQL),
         "map_column_agg": (map_column_agg, MAP_COLUMN_SQL),
