@@ -212,6 +212,24 @@ def decode_image(blob: bytes, fmt: str) -> np.ndarray:
     )
 
 
+def decode_images_bulk(blobs: list[bytes], fmts: np.ndarray) -> list[np.ndarray]:
+    """Decode a batch, routing JPEGs through the batched finish
+    (jpeg_decode_many: per-image entropy decode, ONE numpy
+    dezigzag/IDCT/color pass per geometry group) and everything else through
+    the per-image dispatch.  Bit-identical to per-row decode_image."""
+    jpeg_idx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
+    out: list = [None] * len(blobs)
+    if jpeg_idx:
+        from .jpeg import jpeg_decode_many
+
+        for i, px in zip(jpeg_idx, jpeg_decode_many([blobs[i] for i in jpeg_idx])):
+            out[i] = px
+    for i in range(len(blobs)):
+        if out[i] is None:
+            out[i] = decode_image(blobs[i], fmts[i])
+    return out
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:
@@ -253,8 +271,9 @@ class DecodeFeatures:
             for c in ("mean_lum", "contrast", "edge_energy"):
                 out = out.append_column(c, pa.array([], type=pa.float64()))
             return out
-        # per-row decode (zlib), then batch-vectorized everything else
-        pixels = [decode_image(blobs[i], fmts[i]) for i in range(n)]
+        # decode (JPEGs batched per geometry group), then batch-vectorized
+        # everything else
+        pixels = decode_images_bulk(blobs, fmts)
         shapes = {p.shape for p in pixels}
         if self.check:
             if "caption" in batch.column_names:
@@ -305,7 +324,10 @@ class DecodeFeatures:
 
 # bump when make_pixels/make_caption/codecs change: cached /tmp tables from
 # an older generator would fail the decode invariant checks
-GENERATOR_VERSION = "v3-truth"
+# v4: JPEG f/idct moved from naive einsum to batched matmuls (16x faster) —
+# summation order changed, so decoded pixels can shift on rounding
+# boundaries and cached truth features from v3 would be stale
+GENERATOR_VERSION = "v4-truth"
 
 # default format mix (legacy 50/50 draw — existing caches stay valid); the
 # mixed web-corpus shape adds baseline JPEG
