@@ -977,6 +977,33 @@ FROM x
 """
 
 
+def tfidf_top_terms_docs(sf_dir: str):
+    """Top-3 TF-IDF terms per document (stages/text.py tfidf_top_terms):
+    one vocabulary-sized term exchange + count-gated idf broadcast; a
+    document's tokens never ride a shuffle."""
+    import ray.data
+
+    from ..stages.text import tfidf_top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, "text", "doc_id", k=3)
+
+
+TFIDF_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tok AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM t),
+s AS (SELECT tf.doc_id, tf.term,
+        tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS tfidf,
+        row_number() OVER (PARTITION BY tf.doc_id
+          ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) DESC, tf.term) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, rank, tfidf FROM s WHERE rank <= 3
+"""
+
+
 def ann_cosine_topk(sf_dir: str):
     import ray.data
 
@@ -2933,6 +2960,7 @@ ORACLE_QUERIES.update(
         "lsh_ann": (lsh_ann_docs, LSH_ANN_SQL),
         "ivf_ann": (ivf_ann_docs, IVF_ANN_SQL),
         "kmeans_clusters": (kmeans_clusters, _kmeans_sql),
+        "tfidf_top_terms": (tfidf_top_terms_docs, TFIDF_SQL),
         "dataset_split": (dataset_split, _dataset_split_sql),
         "stratified_sample": (stratified_sample_embeddings, _stratified_sample_sql),
         "drift_stats": (drift_stats_demo, DRIFT_STATS_SQL),

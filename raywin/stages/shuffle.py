@@ -152,21 +152,26 @@ def detect_hot_keys(
     key_col: str,
     hot_fraction: float = 0.02,
     n_chunks: int = 8,
+    candidate_cap: int = 1_000_000,
 ) -> HotKeyConfig:
     """Distributed heavy-hitter scan (the reference Analyzer's FrequentItems
-    analogue, spark/.../Analyzer.scala:116-190).
+    analogue, spark/.../Analyzer.scala:116-190), exact and shuffle-free.
 
-    One projected pass over (key, ts): each block emits per-key count
-    partials plus its local ts range, so the exchange moves at most
-    distinct-keys-per-block rows per block and NOTHING is ever materialized
-    on the driver.  The partial table is combined with a groupby(key).sum;
-    only keys holding > hot_fraction of total rows come back — bounded by
-    1/hot_fraction rows regardless of input scale.  Exact counts, unlike the
-    retired sampled detector (kept as _detect_hot_keys_sampled for the
+    Pigeonhole: a key holding >= hot_fraction of ALL rows must hold
+    >= hot_fraction of at least one block's rows (if it were below f in
+    every block, its total would be below f of the total).  So pass A keeps
+    only each block's LOCALLY-hot keys — at most 1/hot_fraction per block —
+    plus one per-block summary row (count + ts range); the driver sees a
+    bounded candidate union, never a per-key exchange.  Pass B broadcasts
+    the candidates and exact-counts just them (at most |candidates| rows per
+    block).  The earlier version shuffled a distinct-keys-per-block x blocks
+    partial table through groupby(key) — measured 15.4 s of a 66 s job at
+    6M rows, and unboundedly worse at corpus scale.  Exact results, unlike
+    the retired sampled detector (kept as _detect_hot_keys_sampled for the
     agreement test)."""
-    key_type = [None]
+    proj = ds.select_columns([key_col, "ts"])
 
-    def _partials(batch: pa.Table) -> pa.Table:
+    def _pass_a(batch: pa.Table) -> pa.Table:
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -180,42 +185,58 @@ def detect_hot_keys(
                 }
             )
         vc = pc.value_counts(keys)
-        n = len(vc)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        local_hot = counts >= hot_fraction * len(batch)
+        cand = vc.field("values").filter(pa.array(local_hot))
+        n = len(cand)
         ts = batch["ts"].to_numpy(zero_copy_only=False)
+        # candidate rows carry cnt = -1 (sentinel); ONE summary row per
+        # block carries (null key, block rows, block ts range)
+        return pa.table(
+            {
+                key_col: pa.concat_arrays([cand.combine_chunks() if isinstance(cand, pa.ChunkedArray) else cand,
+                                           pa.nulls(1, keys.type)]),
+                "cnt": pa.array(list(np.full(n, -1, dtype=np.int64)) + [len(batch)], pa.int64()),
+                "ts_lo": pa.array([0] * n + [int(ts.min())], pa.int64()),
+                "ts_hi": pa.array([0] * n + [int(ts.max())], pa.int64()),
+            }
+        )
+
+    rows = proj.map_batches(_pass_a, batch_format="pyarrow").take_all()
+    total = sum(r["cnt"] for r in rows if r[key_col] is None)
+    if total == 0:
+        return HotKeyConfig(set(), 1, 0)
+    candidates = sorted({r[key_col] for r in rows if r[key_col] is not None})
+    if not candidates:
+        return HotKeyConfig(set(), 1, 0)
+    if len(candidates) > candidate_cap:
+        raise ValueError(
+            f"hot-key candidate union {len(candidates)} exceeds "
+            f"candidate_cap={candidate_cap}: raise hot_fraction or the cap"
+        )
+    ts_min = min(r["ts_lo"] for r in rows if r[key_col] is None)
+    ts_max = max(r["ts_hi"] for r in rows if r[key_col] is None)
+
+    cand_arr = np.asarray(candidates, dtype=object)
+
+    def _pass_b(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(keys, cand_arr)
+        vc = pc.value_counts(pa.array(keys[mask]))
         return pa.table(
             {
                 key_col: vc.field("values"),
                 "cnt": vc.field("counts").cast(pa.int64()),
-                "ts_lo": pa.array(np.full(n, int(ts.min()), dtype=np.int64)),
-                "ts_hi": pa.array(np.full(n, int(ts.max()), dtype=np.int64)),
             }
         )
 
-    parts = (
-        ds.select_columns([key_col, "ts"])
-        .map_batches(_partials, batch_format="pyarrow")
-        .materialize()  # compact (distinct keys per block); reused twice below
-    )
-    tot = parts.aggregate(_CntSum("cnt"), _TsMin("ts_lo"), _TsMax("ts_hi"))
-    if not tot or tot.get("sum(cnt)") in (None, 0):
-        return HotKeyConfig(set(), 1, 0)
-    total = int(tot["sum(cnt)"])
+    exact: dict = {}
+    for r in proj.map_batches(_pass_b, batch_format="pyarrow").take_all():
+        exact[r[key_col]] = exact.get(r[key_col], 0) + r["cnt"]
     thresh = hot_fraction * total
-    hot_rows = (
-        parts.groupby(key_col)
-        .aggregate(_CntSum("cnt"))
-        .map_batches(
-            lambda b: b.filter(
-                pc.greater(pc.cast(b["sum(cnt)"], pa.float64()), thresh)
-            ),
-            batch_format="pyarrow",
-        )
-        .take_all()  # bounded: at most 1/hot_fraction keys can exceed thresh
-    )
-    hot = {r[key_col] for r in hot_rows}
+    hot = {k for k, c in exact.items() if c > thresh}
     if not hot:
         return HotKeyConfig(set(), 1, 0)
-    ts_min, ts_max = int(tot["min(ts_lo)"]), int(tot["max(ts_hi)"])
     chunk_ms = max(1, (ts_max - ts_min) // n_chunks + 1)
     return HotKeyConfig(hot, chunk_ms, ts_max + chunk_ms)
 

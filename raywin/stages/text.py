@@ -325,3 +325,124 @@ class Fingerprint:
         norm = normalize_ws(batch[self.text_col])
         batch[self.out_col] = to_signed(horner_texts(norm.tolist()))
         return batch
+
+
+class _DocFreqPartials:
+    """map_batches combiner for TF-IDF pass 1: per-batch document-frequency
+    partials — one (term, pdf) row per distinct term per batch, so the term
+    exchange that follows moves vocabulary-sized data, never token streams."""
+
+    TERM_PAT = r"[A-Za-z0-9]+"
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.tok = re.compile(self.TERM_PAT)
+
+    def doc_terms(self, batch: pd.DataFrame):
+        """(term_lists, exploded_lowercased_terms) for a batch — terms are
+        ASCII-only runs, so Python .lower() and DuckDB lower() agree on any
+        input (no locale/unicode case-folding divergence)."""
+        lists = batch[self.text_col].fillna("").map(self.tok.findall)
+        lens = lists.map(len).to_numpy()
+        flat = (
+            np.asarray([t.lower() for row in lists for t in row], dtype=object)
+            if lens.sum()
+            else np.empty(0, dtype=object)
+        )
+        return lens, flat
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        lens, flat = self.doc_terms(batch)
+        doc_idx = np.repeat(np.arange(len(batch)), lens)
+        if not len(flat):
+            return pd.DataFrame({"term": pd.Series([], dtype=object), "pdf": pd.Series([], dtype="int64")})
+        pairs = pd.DataFrame({"d": doc_idx, "term": flat}).drop_duplicates()
+        vc = pairs["term"].value_counts(sort=False)
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object), "pdf": vc.to_numpy().astype("int64")})
+
+
+class _TfIdfTopK:
+    """TF-IDF pass 2: re-tokenize each doc, score tf * ln(n_docs / df)
+    against the broadcast idf table, emit the top-k terms per doc (ties:
+    higher tfidf first, then term ascending).  Entirely local to the batch —
+    a doc's tokens never leave the block, so no shuffle at any corpus size."""
+
+    def __init__(self, df_ref, n_docs: int, k: int, text_col: str, id_col: str):
+        import ray
+
+        self.inner = _DocFreqPartials(text_col)
+        terms, dfs = ray.get(df_ref)
+        self.df_map = dict(zip(terms, np.log(n_docs / dfs)))
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        lens, flat = self.inner.doc_terms(batch)
+        if not len(flat):
+            return pd.DataFrame(
+                {self.id_col: batch[self.id_col].iloc[:0], "term": pd.Series([], dtype=object),
+                 "rank": pd.Series([], dtype="int64"), "tfidf": pd.Series([], dtype="float64")}
+            )
+        doc_ids = batch[self.id_col].to_numpy()[np.repeat(np.arange(len(batch)), lens)]
+        tf = (
+            pd.DataFrame({self.id_col: doc_ids, "term": flat})
+            .groupby([self.id_col, "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        idf = tf["term"].map(self.df_map).to_numpy()
+        tf["tfidf"] = tf["tf"].to_numpy() * idf
+        tf = tf.sort_values([self.id_col, "tfidf", "term"], ascending=[True, False, True])
+        tf["rank"] = tf.groupby(self.id_col, sort=False).cumcount() + 1
+        out = tf[tf["rank"] <= self.k]
+        return pd.DataFrame(
+            {self.id_col: out[self.id_col].to_numpy(), "term": out["term"].to_numpy(),
+             "rank": out["rank"].to_numpy().astype("int64"),
+             "tfidf": out["tfidf"].to_numpy().astype("float64")}
+        )
+
+
+def tfidf_top_terms(ds, text_col: str, id_col: str, k: int = 3,
+                    broadcast_cutoff: int = 5_000_000):
+    """Top-k TF-IDF terms per document: (id, term, rank, tfidf).
+
+    Scale shape: pass 1 streams the corpus once emitting per-batch
+    document-frequency PARTIALS (vocabulary-sized, never token streams) into
+    one small term-keyed exchange; the combined idf table is broadcast with
+    ``ray.put`` (count-gated at ``broadcast_cutoff`` terms, same gate
+    pattern as the join's small mode); pass 2 streams the corpus again,
+    scoring and top-k'ing fully inside each batch — a document's tokens
+    never ride a shuffle.  Tokens are ASCII [A-Za-z0-9]+ runs lowercased
+    (identical semantics in Python re and DuckDB RE2/lower)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    dfreq = (
+        ds.map_batches(_DocFreqPartials(text_col), batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .materialize()
+    )
+    n_terms = dfreq.count()
+    if n_terms > broadcast_cutoff:
+        raise ValueError(
+            f"vocabulary {n_terms} exceeds broadcast_cutoff={broadcast_cutoff}: "
+            "raise the cutoff (the idf table is ~40 B/term) or pre-filter "
+            "terms by min document frequency before broadcasting"
+        )
+    dft = dfreq.to_pandas()
+    n_docs = ds.count()
+    df_ref = ray.put(
+        (dft["term"].to_numpy(dtype=object), dft["df"].to_numpy().astype(np.float64))
+    )
+    return ds.map_batches(
+        _TfIdfTopK,
+        fn_constructor_kwargs={
+            "df_ref": df_ref, "n_docs": n_docs, "k": k,
+            "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
