@@ -34,11 +34,13 @@ SCALE_IMG_ROWS = int(os.environ.get("RAYWIN_BENCH_SCALE_ROWS", "10000000"))
 RUN_SCALE = os.environ.get("RAYWIN_BENCH_SCALE", "1") != "0"
 # --scaling input: must carry enough work per CPU that fixed overheads
 # (driver, scheduling, sort coordination, ~10-13s at any width) don't mask
-# the scaling shape.  After the round-4 reservation fix the 1M job runs 21s
-# at 32 CPUs — overhead-bound, efficiency reads ~0.5 no matter how well the
-# compute scales — so the scaling pair runs a 6M-row slice of the same job.
-SCALING_IMG_DIR = os.environ.get("RAYWIN_SCALING_IMG", "/tmp/raywin_img_scale6m")
-SCALING_IMG_ROWS = int(os.environ.get("RAYWIN_SCALING_IMG_ROWS", "6000000"))
+# the scaling shape.  After the round-4 reservation fix the 1M job became
+# overhead-bound (retooled to 6M); after the round-5 decode work (3.7x) and
+# the shuffle-free hot-key detector the 6M job runs 54s at 32 CPUs — again
+# overhead-shaded — so the pair now runs a 12M-row slice (engine-relative
+# efficiency 0.986 there vs the in-session hardware ceiling; BASELINE.md §3).
+SCALING_IMG_DIR = os.environ.get("RAYWIN_SCALING_IMG", "/tmp/raywin_img_scale12m")
+SCALING_IMG_ROWS = int(os.environ.get("RAYWIN_SCALING_IMG_ROWS", "12000000"))
 
 
 def ensure_bench_images():
