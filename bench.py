@@ -276,14 +276,15 @@ def run_benchmarks():
 
 
 def _raw_decode_worker(blobs, n_iter, q):
-    from raywin.stages.jpeg import jpeg_decode
+    # batched decode: the engine's actual kernel (lockstep-vectorized
+    # entropy + grouped finish) — the control must measure the same work
+    from raywin.stages.jpeg import jpeg_decode_many
 
     t0 = time.perf_counter()
     cnt = 0
     for _ in range(n_iter):
-        for b in blobs:
-            jpeg_decode(b)
-            cnt += 1
+        jpeg_decode_many(blobs)
+        cnt += len(blobs)
     q.put((cnt, time.perf_counter() - t0))
 
 
@@ -307,8 +308,11 @@ def raw_decode_control(lo: int, hi: int) -> dict:
     rates = {}
     for nproc in (lo, hi):
         q = mp.Queue()
+        # n_iter sized so each worker runs ~3 s of decode: the vectorized
+        # kernel does 2000 thumbnails in ~70 ms, and a sub-second run would
+        # be dominated by process spawn
         procs = [
-            mp.Process(target=_raw_decode_worker, args=(blobs, 3, q))
+            mp.Process(target=_raw_decode_worker, args=(blobs, 40, q))
             for _ in range(nproc)
         ]
         t0 = time.perf_counter()

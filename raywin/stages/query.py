@@ -112,14 +112,30 @@ class SqlBatch:
         self._con = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._con is None:
-            self._con = get_duckdb().connect(":memory:")
-            for stmt in self.setups:
-                self._con.execute(stmt)
-        self._con.register(self.relation, batch)
-        out = self._con.execute(self.sql).fetch_arrow_table()
-        self._con.unregister(self.relation)
-        return out
+        # Retry on "Query interrupted": Ray cancels an abandoned execution's
+        # tasks with SIGINT, and in a REUSED worker the signal can land while
+        # the NEXT task is mid-query — duckdb translates it into an
+        # interrupt.  The query is deterministic, so retrying on a fresh
+        # connection is exactly a task retry, minus losing the whole task.
+        for attempt in (0, 1, 2):
+            try:
+                if self._con is None:
+                    self._con = get_duckdb().connect(":memory:")
+                    for stmt in self.setups:
+                        self._con.execute(stmt)
+                self._con.register(self.relation, batch)
+                out = self._con.execute(self.sql).fetch_arrow_table()
+                self._con.unregister(self.relation)
+                return out
+            except (Exception, KeyboardInterrupt) as e:
+                msg = str(e)
+                interrupted = (
+                    "interrupt" in msg.lower() or isinstance(e, KeyboardInterrupt)
+                )
+                if not interrupted or attempt == 2:
+                    raise
+                self._con = None  # connection state is poisoned; rebuild
+        raise AssertionError("unreachable")
 
 
 def derivation_sql(derivations: list[Derivation], base_columns: list[str]) -> str:
