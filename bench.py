@@ -37,10 +37,12 @@ RUN_SCALE = os.environ.get("RAYWIN_BENCH_SCALE", "1") != "0"
 # the scaling shape.  After the round-4 reservation fix the 1M job became
 # overhead-bound (retooled to 6M); after the round-5 decode work (3.7x) and
 # the shuffle-free hot-key detector the 6M job runs 54s at 32 CPUs — again
-# overhead-shaded — so the pair now runs a 12M-row slice (engine-relative
-# efficiency 0.986 there vs the in-session hardware ceiling; BASELINE.md §3).
-SCALING_IMG_DIR = os.environ.get("RAYWIN_SCALING_IMG", "/tmp/raywin_img_scale12m")
-SCALING_IMG_ROWS = int(os.environ.get("RAYWIN_SCALING_IMG_ROWS", "12000000"))
+# overhead-shaded — so the pair was retooled to 12M and, after the
+# lockstep-vectorized entropy decoder (another ~2x on the wide leg), to a
+# 24M-row slice: wide leg ~100 s, engine-relative efficiency 1.003 vs the
+# in-session hardware ceiling (BASELINE.md §3).
+SCALING_IMG_DIR = os.environ.get("RAYWIN_SCALING_IMG", "/tmp/raywin_img_scale24m")
+SCALING_IMG_ROWS = int(os.environ.get("RAYWIN_SCALING_IMG_ROWS", "24000000"))
 
 
 def ensure_bench_images():
