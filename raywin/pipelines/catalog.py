@@ -1004,6 +1004,92 @@ SELECT doc_id, term, rank, tfidf FROM s WHERE rank <= 3
 """
 
 
+def lm_quality_docs(sf_dir: str):
+    """CCNet-style unigram-LM quality score per document (stages/text.py
+    lm_quality): vocabulary-sized term exchange + count-gated model
+    broadcast; scoring local to each batch."""
+    import ray.data
+
+    from ..stages.text import lm_quality
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lm_quality(ds, "text", "doc_id")
+
+
+# float determinism: the per-doc mean surprisal is rounded to 4 decimals on
+# BOTH sides (sum-order divergence between numpy pairwise and DuckDB
+# sequential accumulation is ~1e-12); perplexity is exp() of that rounded
+# value, rounded to 2
+LM_QUALITY_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tok AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term FROM t),
+c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+n AS (SELECT count(*) AS total FROM tok),
+s AS (SELECT tok.doc_id,
+        round(sum(ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+              / count(*), 4) AS avg_neg_logp,
+        count(*) AS ntok
+      FROM tok JOIN c USING (term) CROSS JOIN n
+      GROUP BY tok.doc_id)
+SELECT t.doc_id,
+  CAST(coalesce(s.ntok, 0) AS BIGINT) AS n_tokens,
+  s.avg_neg_logp,
+  round(exp(s.avg_neg_logp), 2) AS unigram_ppl
+FROM t LEFT JOIN s USING (doc_id)
+"""
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (stages/text.py decontaminate): candidate
+    docs (doc_id % 97 != 0) scored for distinct 5-gram overlap against the
+    deterministic held-out benchmark split (doc_id % 97 == 0); the benchmark
+    gram set is the only exchange, candidates never shuffle."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.text import decontaminate
+
+    def split(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 97) == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+
+        return fn
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = ds.map_batches(split(True), batch_format="pyarrow")
+    cand = ds.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(cand, bench, "text", "doc_id", n=5, min_overlap=1)
+
+
+DECONTAMINATE_SQL = """
+WITH t AS (SELECT doc_id,
+        regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS toks
+      FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 5
+             THEN list_transform(range(1, len(toks) - 3),
+                  __i -> toks[__i] || chr(31) || toks[__i + 1] || chr(31)
+                      || toks[__i + 2] || chr(31) || toks[__i + 3] || chr(31)
+                      || toks[__i + 4])
+             ELSE [] END AS grams
+      FROM t),
+p AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g),
+bench AS (SELECT DISTINCT gram FROM p WHERE doc_id % 97 = 0),
+s AS (SELECT p.doc_id, count(*) AS n_grams,
+        count(*) FILTER (WHERE bench.gram IS NOT NULL) AS n_overlap
+      FROM p LEFT JOIN bench USING (gram)
+      WHERE p.doc_id % 97 <> 0
+      GROUP BY p.doc_id)
+SELECT t.doc_id,
+  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(s.n_overlap, 0) AS BIGINT) AS n_overlap,
+  coalesce(s.n_overlap, 0) >= 1 AS contaminated
+FROM t LEFT JOIN s USING (doc_id)
+WHERE t.doc_id % 97 <> 0
+"""
+
+
 def ann_cosine_topk(sf_dir: str):
     import ray.data
 
@@ -2939,6 +3025,8 @@ ORACLE_QUERIES = {
     "pii_scrub": (pii_scrub_docs, PII_SCRUB_SQL),
     "paragraph_dedup": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
     "duplicate_spans": (duplicate_spans_docs, DUPLICATE_SPANS_SQL),
+    "lm_quality": (lm_quality_docs, LM_QUALITY_SQL),
+    "decontaminate": (decontaminate_docs, DECONTAMINATE_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "elementwise_avg": (elementwise_avg_by_label, ELEMENTWISE_SQL),
 }

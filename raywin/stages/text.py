@@ -227,6 +227,41 @@ class PiiScrub:
         return batch
 
 
+_GRAM_TOK_PAT = r"[0-9a-z_]+"
+
+
+def _word_gram_hashes(texts: pd.Series, n: int):
+    """Vectorized word n-gram hashes over lowercase `[0-9a-z_]+` tokens:
+    returns (gh: uint64[m], pos: int64[m]) where gh[i] is the Horner hash of
+    n consecutive token hashes and pos[i] the 0-based row the gram belongs
+    to.  Hash = FNV offset seeded Horner with multiplier 1000003 over
+    `horner_texts` token hashes — collision-free in practice at 64 bits;
+    oracles compare the chr(31)-joined gram STRINGS instead (same
+    construction, DUPLICATE_SPANS_SQL / DECONTAMINATE_SQL)."""
+    import re
+
+    from ..functions.texthash import horner_texts
+
+    tok_re = re.compile(_GRAM_TOK_PAT)
+    s = texts.reset_index(drop=True).fillna("").str.lower()
+    toks = s.str.findall(tok_re)
+    ex = toks.explode().dropna()
+    if len(ex) == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    th = horner_texts(ex.tolist())  # uint64 token hashes, vectorized
+    pos = ex.index.to_numpy()
+    m = len(th) - n + 1
+    if m <= 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        gh = np.full(m, np.uint64(14695981039346656037), dtype=np.uint64)
+        for j in range(n):
+            gh = gh * np.uint64(1000003) + th[j : j + m]
+    # a gram is valid only when all n tokens belong to the same document
+    valid = pos[:m] == pos[n - 1 :]
+    return gh[valid], pos[:m][valid].astype(np.int64)
+
+
 def duplicate_span_stats(ds, text_col: str, id_col: str, n: int = 5,
                          hot: int = 2, num_buckets: int = 64):
     """Cross-document duplicated-span signal (Lee et al. 2022 / Gopher
@@ -241,38 +276,11 @@ def duplicate_span_stats(ds, text_col: str, id_col: str, n: int = 5,
     then one shuffle keyed by doc for the per-document fraction."""
     import pyarrow as pa
 
-    from ..functions.texthash import horner_texts
     from ..stages.shuffle import BUCKET_COL, AddBucket
 
-    import re
-
-    tok_re = re.compile(r"[0-9a-z_]+")
-
     def grams(batch: pd.DataFrame) -> pa.Table:
-        s = batch[text_col].reset_index(drop=True).fillna("").str.lower()
-        toks = s.str.findall(tok_re)
-        ex = toks.explode().dropna()
         ids = batch[id_col].to_numpy()
-        if len(ex) == 0:
-            return pa.table(
-                {id_col: pa.array([], type=pa.array(ids[:0]).type),
-                 "gh": pa.array([], type=pa.int64())}
-            )
-        th = horner_texts(ex.tolist())  # uint64 token hashes, vectorized
-        pos = ex.index.to_numpy()
-        # gram hash = Horner over n consecutive token hashes; valid when all
-        # n tokens belong to the same document
-        m = len(th) - n + 1
-        if m <= 0:
-            valid = np.zeros(0, dtype=bool)
-        else:
-            with np.errstate(over="ignore"):
-                gh = np.full(m, np.uint64(14695981039346656037), dtype=np.uint64)
-                for j in range(n):
-                    gh = gh * np.uint64(1000003) + th[j : j + m]
-            valid = pos[:m] == pos[n - 1 :]
-        gh = gh[valid] if m > 0 else np.zeros(0, dtype=np.uint64)
-        gpos = pos[:m][valid] if m > 0 else np.zeros(0, dtype=np.int64)
+        gh, gpos = _word_gram_hashes(batch[text_col], n)
         return pa.table(
             {
                 id_col: pa.array(ids[gpos]),
@@ -441,6 +449,210 @@ def tfidf_top_terms(ds, text_col: str, id_col: str, k: int = 3,
         _TfIdfTopK,
         fn_constructor_kwargs={
             "df_ref": df_ref, "n_docs": n_docs, "k": k,
+            "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+class _TermFreqPartials:
+    """map_batches combiner for the unigram LM pass 1: per-batch TERM
+    FREQUENCY partials (one (term, ptf) row per distinct term per batch) —
+    the exchange that follows moves vocabulary-sized data, never the token
+    stream.  Same token semantics as TF-IDF (`_DocFreqPartials.doc_terms`)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.inner = _DocFreqPartials(text_col)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _, flat = self.inner.doc_terms(batch)
+        if not len(flat):
+            return pd.DataFrame(
+                {"term": pd.Series([], dtype=object), "ptf": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(flat, dtype=object).value_counts(sort=False)
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "ptf": vc.to_numpy().astype("int64")}
+        )
+
+
+class _LmScore:
+    """Unigram LM pass 2: score each document's tokens against the broadcast
+    corpus term-frequency table — per-token surprisal -ln p(t) computed as
+    ln(total) - ln(cnt_t) so both engines evaluate the identical doubles.
+    Entirely local to the batch (no shuffle at any corpus size).
+
+    Cross-engine determinism: the per-doc MEAN surprisal is a float sum whose
+    accumulation order differs between numpy (pairwise) and DuckDB
+    (sequential); both agree to ~1e-12, so the emitted score is rounded to 4
+    decimals ON BOTH SIDES — far coarser than the divergence, far finer than
+    the harness's round(6) hash."""
+
+    def __init__(self, tf_ref, total_tokens: int, text_col: str, id_col: str):
+        import ray
+
+        self.inner = _DocFreqPartials(text_col)
+        terms, cnts = ray.get(tf_ref)
+        self.cnt_map = pd.Series(np.log(cnts), index=terms)
+        self.ln_total = float(np.log(total_tokens)) if total_tokens else 0.0
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        lens, flat = self.inner.doc_terms(batch)
+        n = len(batch)
+        n_tok = lens.astype(np.int64)
+        avg = np.full(n, np.nan)
+        if len(flat):
+            doc_idx = np.repeat(np.arange(n), lens)
+            # per-token surprisal; vocabulary lookup vectorized on the
+            # unique terms of the batch only
+            uniq, inv = np.unique(flat, return_inverse=True)
+            ln_cnt = self.cnt_map.reindex(uniq).to_numpy()
+            val = self.ln_total - ln_cnt[inv]
+            sums = np.bincount(doc_idx, weights=val, minlength=n)
+            nz = n_tok > 0
+            avg[nz] = np.round(sums[nz] / n_tok[nz], 4)
+        ppl = np.round(np.exp(avg), 2)
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "n_tokens": n_tok,
+                "avg_neg_logp": avg,
+                "unigram_ppl": ppl,
+            }
+        )
+
+
+def lm_quality(ds, text_col: str, id_col: str, broadcast_cutoff: int = 5_000_000):
+    """CCNet-style unigram language-model quality score per document
+    (Wenzek et al. 2020 train a 5-gram KenLM; the unigram variant keeps the
+    same pipeline shape with a corpus-derived model — no external data):
+    (id, n_tokens, avg_neg_logp, unigram_ppl).  High perplexity = the
+    document's vocabulary is atypical for the corpus (gibberish / spam);
+    the standard corpus-prep quality filter alongside Gopher repetition.
+
+    Scale shape (same as tfidf_top_terms): pass 1 streams the corpus once
+    emitting per-batch term-frequency PARTIALS into one vocabulary-sized
+    term exchange; the model (term -> count) is broadcast with ray.put
+    (count-gated); pass 2 streams the corpus scoring fully inside each
+    batch — a document's tokens never ride a shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    tf = (
+        ds.map_batches(_TermFreqPartials(text_col), batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("ptf", alias_name="tf"))
+        .materialize()
+    )
+    n_terms = tf.count()
+    if n_terms > broadcast_cutoff:
+        raise ValueError(
+            f"vocabulary {n_terms} exceeds broadcast_cutoff={broadcast_cutoff}: "
+            "raise the cutoff (~40 B/term) or min-count-prune the vocabulary "
+            "before broadcasting"
+        )
+    tft = tf.to_pandas()
+    total = int(tft["tf"].sum())
+    tf_ref = ray.put(
+        (tft["term"].to_numpy(dtype=object), tft["tf"].to_numpy().astype(np.float64))
+    )
+    return ds.map_batches(
+        _LmScore,
+        fn_constructor_kwargs={
+            "tf_ref": tf_ref, "total_tokens": total,
+            "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+class _ContamScore:
+    """Decontamination pass 2: count each candidate document's distinct word
+    n-grams that appear in the broadcast benchmark gram set.  Entirely local
+    to the batch — membership is a searchsorted probe against the sorted
+    benchmark hash array, no shuffle at any corpus size."""
+
+    def __init__(self, bench_ref, n: int, min_overlap: int,
+                 text_col: str, id_col: str):
+        import ray
+
+        self.bench = ray.get(bench_ref)  # sorted uint64 gram hashes
+        self.n = n
+        self.min_overlap = min_overlap
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(batch)
+        n_grams = np.zeros(n_rows, dtype=np.int64)
+        n_overlap = np.zeros(n_rows, dtype=np.int64)
+        gh, pos = _word_gram_hashes(batch[self.text_col], self.n)
+        if len(gh):
+            # distinct (doc, gram) pairs: sort by (pos, gh), drop adjacent dups
+            order = np.lexsort((gh, pos))
+            gh, pos = gh[order], pos[order]
+            keep = np.ones(len(gh), dtype=bool)
+            keep[1:] = (pos[1:] != pos[:-1]) | (gh[1:] != gh[:-1])
+            gh, pos = gh[keep], pos[keep]
+            np.add.at(n_grams, pos, 1)
+            if len(self.bench):
+                idx = np.searchsorted(self.bench, gh)
+                idx[idx == len(self.bench)] = 0
+                hit = self.bench[idx] == gh
+                np.add.at(n_overlap, pos[hit], 1)
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "n_grams": n_grams,
+                "n_overlap": n_overlap,
+                "contaminated": n_overlap >= self.min_overlap,
+            }
+        )
+
+
+def decontaminate(ds, bench_ds, text_col: str, id_col: str, n: int = 5,
+                  min_overlap: int = 1, broadcast_cutoff: int = 50_000_000):
+    """Benchmark decontamination (GPT-3 appx C / PaLM style): flag every
+    candidate document sharing >= `min_overlap` distinct word n-grams with a
+    held-out benchmark set, so evaluation data can be excluded from the
+    training split.  Output: (id, n_grams, n_overlap, contaminated) — one
+    row per candidate doc, zero-gram docs included (never contaminated).
+
+    Scale shape: the benchmark side (small by construction) streams once
+    emitting per-batch distinct gram hashes into one gram-keyed exchange;
+    the distinct set is broadcast with ray.put (count-gated, 8 B/gram);
+    the candidate corpus then streams ONCE with all scoring local to the
+    batch — candidate text and grams never ride a shuffle."""
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count
+
+    def bench_grams(batch: pd.DataFrame) -> pa.Table:
+        gh, _ = _word_gram_hashes(batch[text_col], n)
+        return pa.table({"gh": pa.array(np.unique(gh).view(np.int64), type=pa.int64())})
+
+    uniq = (
+        bench_ds.map_batches(bench_grams, batch_format="pandas")
+        .groupby("gh")
+        .aggregate(Count(alias_name="c"))
+        .materialize()
+    )
+    n_bench = uniq.count()
+    if n_bench > broadcast_cutoff:
+        raise ValueError(
+            f"benchmark gram set {n_bench} exceeds broadcast_cutoff="
+            f"{broadcast_cutoff}: shard the benchmark or raise the cutoff "
+            "(8 B/gram broadcast)"
+        )
+    ghs = np.sort(uniq.to_pandas()["gh"].to_numpy().view(np.uint64))
+    bench_ref = ray.put(ghs)
+    return ds.map_batches(
+        _ContamScore,
+        fn_constructor_kwargs={
+            "bench_ref": bench_ref, "n": n, "min_overlap": min_overlap,
             "text_col": text_col, "id_col": id_col,
         },
         batch_format="pandas",

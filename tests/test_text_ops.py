@@ -133,3 +133,83 @@ def test_token_count_edges_vs_oracle():
     row = out.loc[0]
     assert row["n_ws_tokens"] == 5
     assert row["n_bpe_tokens"] == 12
+
+
+def test_lm_quality_matches_brute(ray_session):
+    """Unigram-LM scores vs a per-token Python recompute over the real
+    sf0.001 corpus: n_tokens exact, avg_neg_logp equal to the shared
+    4-decimal rounding, perplexity derived from the rounded score."""
+    import math
+    import re
+
+    import numpy as np
+    import ray.data
+
+    from raywin.stages.text import lm_quality
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(r"[A-Za-z0-9]+")
+    docs = {
+        r.doc_id: [t.lower() for t in tok.findall(r.text or "")]
+        for r in pdf.itertuples()
+    }
+    cnt: dict = {}
+    for terms in docs.values():
+        for t in terms:
+            cnt[t] = cnt.get(t, 0) + 1
+    total = sum(cnt.values())
+    want = {}
+    for doc, terms in docs.items():
+        if terms:
+            s = sum(math.log(total) - math.log(cnt[t]) for t in terms)
+            avg = round(s / len(terms), 4)
+            want[doc] = (len(terms), avg, round(math.exp(avg), 2))
+        else:
+            want[doc] = (0, None, None)
+
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    got = lm_quality(ds, "text", "doc_id").to_pandas().set_index("doc_id")
+    assert len(got) == len(want)
+    for doc, (ntok, avg, ppl) in want.items():
+        row = got.loc[doc]
+        assert row["n_tokens"] == ntok
+        if avg is None:
+            assert np.isnan(row["avg_neg_logp"]) and np.isnan(row["unigram_ppl"])
+        else:
+            assert row["avg_neg_logp"] == avg
+            assert row["unigram_ppl"] == ppl
+
+
+def test_decontaminate_counts(ray_session):
+    """Synthetic corpus with a known contamination structure: exact distinct
+    5-gram overlap counts against a string-gram brute force."""
+    import ray.data
+
+    from raywin.stages.text import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    cand = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                # shares grams 1-3 of the bench doc (IOTA breaks gram 4)
+                "alpha beta gamma delta epsilon zeta eta IOTA",
+                # one shared gram, repeated twice -> still 1 DISTINCT overlap
+                "alpha beta gamma delta epsilon X alpha beta gamma delta epsilon",
+                "totally different text with five tokens here",
+                "short",            # < 5 tokens: zero grams
+                None,               # null text
+            ],
+        }
+    )
+    bench = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": [bench_text]}))
+    out = (
+        decontaminate(ray.data.from_pandas(cand), bench, "text", "doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_grams"].tolist() == [4, 6, 3, 0, 0]
+    assert out["n_overlap"].tolist() == [3, 1, 0, 0, 0]
+    assert out["contaminated"].tolist() == [True, True, False, False, False]
