@@ -213,3 +213,29 @@ def test_decontaminate_counts(ray_session):
     assert out["n_grams"].tolist() == [4, 6, 3, 0, 0]
     assert out["n_overlap"].tolist() == [3, 1, 0, 0, 0]
     assert out["contaminated"].tolist() == [True, True, False, False, False]
+
+
+def test_lm_quality_empty_docs(ray_session):
+    """Zero-token documents get NaN score/perplexity, count 0 — and don't
+    perturb the model built from the rest of the corpus."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from raywin.stages.text import lm_quality
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["b b a", "", None]}
+    )
+    out = (
+        lm_quality(ray.data.from_pandas(df), "text", "doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_tokens"].tolist() == [3, 0, 0]
+    # model: a=1, b=2, total=3
+    want = round((2 * (math.log(3) - math.log(2)) + (math.log(3) - math.log(1))) / 3, 4)
+    assert out.loc[1, "avg_neg_logp"] == want
+    assert np.isnan(out.loc[2, "avg_neg_logp"]) and np.isnan(out.loc[3, "unigram_ppl"])
