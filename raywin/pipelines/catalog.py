@@ -914,6 +914,56 @@ FROM p JOIN c USING (gram) GROUP BY p.doc_id
 """
 
 
+def span_removal_docs(sf_dir: str):
+    """Exact substring-span REMOVAL (Lee et al. 2022): duplicated word
+    5-grams keep only their first (doc, start) occurrence corpus-wide; every
+    token covered by a losing occurrence is removed and the doc is rewritten
+    as its surviving tokens.  The rewrite counterpart of duplicate_spans
+    (which only scores); see stages/dedup.py:remove_duplicate_spans for the
+    two-exchange scale shape."""
+    import ray.data
+
+    from ..stages.dedup import remove_duplicate_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = remove_duplicate_spans(ds, "text", "doc_id", n=5)
+    return out.select_columns(["doc_id", "n_tokens", "n_removed", "clean_text"])
+
+
+SPAN_REMOVAL_SQL = """
+WITH t AS (SELECT doc_id,
+        regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS toks
+      FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS tok,
+             CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) - 1 AS j
+      FROM t),
+g AS (SELECT doc_id,
+             CAST(unnest(range(1, len(toks) - 3)) AS BIGINT) - 1 AS s,
+             unnest(list_transform(range(1, len(toks) - 3),
+                  __i -> toks[__i] || chr(31) || toks[__i + 1] || chr(31)
+                      || toks[__i + 2] || chr(31) || toks[__i + 3] || chr(31)
+                      || toks[__i + 4])) AS gram
+      FROM t WHERE len(toks) >= 5),
+l AS (SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               count(*) OVER (PARTITION BY gram) AS cnt,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn
+        FROM g)
+      WHERE cnt >= 2 AND rn > 1),
+r AS (SELECT DISTINCT doc_id, s + o.off AS j
+      FROM l CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS off) o),
+k AS (SELECT w.doc_id, w.j, w.tok, r.j IS NOT NULL AS rm
+      FROM w LEFT JOIN r ON r.doc_id = w.doc_id AND r.j = w.j)
+SELECT t.doc_id,
+  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  CAST(coalesce(count(*) FILTER (WHERE k.rm), 0) AS BIGINT) AS n_removed,
+  coalesce(string_agg(k.tok, ' ' ORDER BY k.j) FILTER (WHERE NOT k.rm), '')
+    AS clean_text
+FROM t LEFT JOIN k ON k.doc_id = t.doc_id
+GROUP BY t.doc_id, len(t.toks)
+"""
+
+
 def text_stats_docs(sf_dir: str):
     import ray.data
 
@@ -1652,6 +1702,119 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
 FROM d a JOIN d b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+_DUPIMG_TBL = "/tmp/raywin_dupimg_small"
+
+
+def _ensure_dupimg_table() -> str:
+    """Deterministic image table WITH planted exact duplicates (the flagship
+    small table's pixels are pure functions of distinct ids, so it contains
+    no exact dupes to find): 300 base images of mixed geometry (8/12/16 px)
+    and mixed codec (png/qimg/jpeg); every 5th id gets a copy row — same
+    pixels, same codec, new image_id — and every 15th a second copy, so
+    group sizes 1/2/3 all occur.  Copies share the base's codec on purpose:
+    exact dedup is decoded-pixel equality, and lossy/quantizing round trips
+    only reproduce bytes under the same encoder (cross-codec near-dups are
+    phash_neardup's job).  A truth parquet carries (image_id, group_key)
+    for the oracle."""
+    import os
+
+    from ..stages.images import _encode_payload, cache_is_current, make_caption, make_pixels
+
+    fmt_mix = ("png", "qimg", "jpeg")
+    if cache_is_current(_DUPIMG_TBL, fmt_mix) and os.path.exists(
+        _DUPIMG_TBL + "_truth/truth-0.parquet"
+    ):
+        return _DUPIMG_TBL
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..stages.images import _marker_text
+
+    shutil.rmtree(_DUPIMG_TBL, ignore_errors=True)
+    shutil.rmtree(_DUPIMG_TBL + "_truth", ignore_errors=True)
+    os.makedirs(_DUPIMG_TBL, exist_ok=True)
+    os.makedirs(_DUPIMG_TBL + "_truth", exist_ok=True)
+    rng = np.random.default_rng(20260820)
+    n = 300
+    sizes = np.asarray([8, 12, 16])[rng.integers(0, 3, n)]
+    fmts = np.asarray(fmt_mix, dtype=object)[rng.integers(0, 3, n)]
+    ids, blobs, ws, hs, caps, groups = [], [], [], [], [], []
+
+    def emit(image_id: str, px, fmt: str, group: int):
+        blob, _feats = _encode_payload(px, fmt)
+        ids.append(image_id)
+        blobs.append(blob)
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+        caps.append(make_caption(image_id))
+        groups.append(group)
+        return fmt
+
+    for i in range(n):
+        base_id = f"dup_{i:05d}"
+        px = make_pixels(base_id, int(sizes[i]), int(sizes[i]))
+        emit(base_id, px, str(fmts[i]), i)
+        if i % 5 == 0:
+            emit(f"{base_id}_c", px, str(fmts[i]), i)
+        if i % 15 == 0:
+            emit(f"{base_id}_c2", px, str(fmts[i]), i)
+    fmt_col = [str(fmts[g]) for g in groups]
+    tbl = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmt_col, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(_DUPIMG_TBL, "images.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "group_key": pa.array(groups, pa.int64()),
+            }
+        ),
+        os.path.join(_DUPIMG_TBL + "_truth", "truth-0.parquet"),
+    )
+    with open(os.path.join(_DUPIMG_TBL, "_GENERATOR_VERSION"), "w") as f:
+        f.write(_marker_text(fmt_mix))
+    return _DUPIMG_TBL
+
+
+def image_pixel_dedup(sf_dir: str):
+    """Exact image dedup by decoded-pixel digest: decode every payload
+    (mixed png/qimg/jpeg geometry), digest the decoded array, and group
+    byte-identical images corpus-wide — bytes dropped in the decode stage,
+    only (id, digest128) rides the one exchange.  See
+    stages/dedup.py:pixel_dedup_groups."""
+    import ray.data
+
+    from ..stages.dedup import pixel_dedup_groups
+
+    path = _ensure_dupimg_table()
+    ds = ray.data.read_parquet(path, columns=["image_id", "bytes", "fmt"])
+    return pixel_dedup_groups(ds).select_columns(
+        ["image_id", "canonical_id", "group_size"]
+    )
+
+
+def _image_pixel_dedup_sql() -> str:
+    """Oracle: the generator's truth table knows each row's source group;
+    the pipeline must recover exactly that grouping from DECODED bytes."""
+    path = _ensure_dupimg_table()
+    return f"""
+WITH g AS (SELECT group_key, min(image_id) AS canonical_id,
+                  CAST(count(*) AS BIGINT) AS group_size
+           FROM read_parquet('{path}_truth/truth-*.parquet') GROUP BY group_key)
+SELECT t.image_id, g.canonical_id, g.group_size
+FROM read_parquet('{path}_truth/truth-*.parquet') t JOIN g USING (group_key)
 """
 
 
@@ -3025,6 +3188,7 @@ ORACLE_QUERIES = {
     "pii_scrub": (pii_scrub_docs, PII_SCRUB_SQL),
     "paragraph_dedup": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
     "duplicate_spans": (duplicate_spans_docs, DUPLICATE_SPANS_SQL),
+    "span_removal": (span_removal_docs, SPAN_REMOVAL_SQL),
     "lm_quality": (lm_quality_docs, LM_QUALITY_SQL),
     "decontaminate": (decontaminate_docs, DECONTAMINATE_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
@@ -3042,6 +3206,7 @@ ORACLE_QUERIES.update(
         "image_backfill": (image_backfill_small, _image_backfill_sql),
         "image_backfill_skew": (image_backfill_skew_small, _image_backfill_sql),
         "phash_neardup": (phash_neardup_images, _phash_neardup_sql),
+        "image_pixel_dedup": (image_pixel_dedup, _image_pixel_dedup_sql),
         "video_frame_sample": (video_frame_sample, _video_frame_sample_sql),
         "audio_window_features": (audio_window_features, _audio_window_features_sql),
         "approx_sketches": (approx_distinct_users, APPROX_SKETCHES_SQL),

@@ -394,6 +394,183 @@ def dedup_paragraphs(ds, text_col: str, id_col: str, sep: str = "\n\n",
     )
 
 
+def remove_duplicate_spans(ds, text_col: str, id_col: str, n: int = 5,
+                           num_buckets: int = 64):
+    """Exact substring-span REMOVAL (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): any word n-gram occurring
+    >= 2 times corpus-wide keeps only its canonical occurrence (first by
+    (doc, start)); every token covered by a non-canonical occurrence of a
+    duplicated gram is removed, and each document is rewritten as its
+    surviving tokens joined by single spaces — the standard practice of
+    running exact-substring dedup over the normalized token stream.
+    Complements :func:`dedup_paragraphs` (whole-paragraph winners) and
+    ``duplicate_span_stats`` (signal only, no rewrite); reference analogue:
+    chronon has no text ops — net-new training-data surface
+    (api/python/ai/chronon/group_by.py documents the closest transform
+    seam).
+
+    Scale shape: the corpus-wide winner election ships only (id, start,
+    hash64) rows (24 B/gram) keyed by the gram hash — all occurrences of a
+    gram co-partition, so the bucket-local first IS the global canonical —
+    and only the LOSING (id, start) marks return through the one rebuild
+    exchange the document text rides.  A gram occurring k times costs k
+    compact rows in one bucket, never k text copies.  Collision posture:
+    a false removal needs two distinct n-grams with equal 64-bit Horner
+    hash — same stance as duplicate_span_stats; oracles compare the joined
+    gram strings.  Returns (id, n_tokens, n_removed, clean_text); row count
+    is preserved (token-free docs survive with clean_text = '')."""
+    import re
+
+    from ..stages.shuffle import BUCKET_COL, SIDE_COL, AddBucket
+    from ..stages.text import _GRAM_TOK_PAT, _word_gram_hashes
+
+    def explode(batch: pd.DataFrame) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        gh, gpos, gstart = _word_gram_hashes(batch[text_col], n, with_starts=True)
+        return pa.table(
+            {
+                id_col: pa.array(ids[gpos]),
+                "s": pa.array(gstart, type=pa.int64()),
+                "gh": pa.array(gh.view(np.int64), type=pa.int64()),
+            }
+        )
+
+    def mark_losers(g: pd.DataFrame) -> pd.DataFrame:
+        # canonical per gram = corpus-wide min (doc, start); same-hash rows
+        # co-partition here, so bucket-local first IS global.  duplicated()
+        # marks exactly the occurrences beyond the first — i.e. nothing for
+        # singleton grams, all non-canonical occurrences for duplicated ones.
+        g = g.sort_values([id_col, "s"], kind="stable")
+        lose = g.duplicated("gh", keep="first")
+        return g.loc[lose, [id_col, "s"]]
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        tok_re = re.compile(_GRAM_TOK_PAT)
+        texts = g[g[SIDE_COL] == 0]
+        marks = g[g[SIDE_COL] == 1]
+        toks = texts[text_col].fillna("").str.lower().str.findall(tok_re)
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        off = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=off[1:])
+        doc_ids = np.repeat(texts[id_col].to_numpy(), counts)
+        j = np.arange(total, dtype=np.int64) - np.repeat(off, counts)
+        flat = toks.explode().dropna()
+        # expand each losing occurrence to its n covered token positions
+        rid = np.repeat(marks[id_col].to_numpy(), n)
+        rj = (marks["s"].to_numpy(dtype=np.int64)[:, None]
+              + np.arange(n, dtype=np.int64)[None, :]).ravel()
+        keep = ~pd.MultiIndex.from_arrays([doc_ids, j]).isin(
+            pd.MultiIndex.from_arrays([rid, rj])
+        )
+        kept = pd.DataFrame({id_col: doc_ids[keep], "tok": flat.to_numpy()[keep]})
+        agg = kept.groupby(id_col, sort=False)["tok"].agg(" ".join)
+        kept_n = kept.groupby(id_col, sort=False).size()
+        out = pd.DataFrame({id_col: texts[id_col].to_numpy()})
+        out["n_tokens"] = counts
+        out["n_removed"] = (
+            counts - out[id_col].map(kept_n).fillna(0).to_numpy(dtype=np.int64)
+        )
+        out["clean_text"] = out[id_col].map(agg).fillna("")
+        return out[[id_col, "n_tokens", "n_removed", "clean_text"]]
+
+    # shuffle 1 (compact): (id, s, gh) keyed by gram hash -> losing marks
+    losers = (
+        ds.map_batches(explode, batch_format="pandas")
+        .map_batches(AddBucket(["gh"], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(mark_losers, batch_format="pandas")
+    )
+
+    def tag_text(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, text_col])
+        t = t.append_column("s", pa.nulls(len(t), pa.int64()))
+        return t.append_column(SIDE_COL, pa.array(np.zeros(len(t), dtype=np.int8)))
+
+    def tag_loser(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                text_col: pa.nulls(len(b), pa.string()),
+                "s": b["s"],
+                SIDE_COL: pa.array(np.ones(len(b), dtype=np.int8)),
+            }
+        )
+
+    # shuffle 2: whole-doc text rows + losing marks co-partition by doc id
+    unioned = ds.map_batches(tag_text, batch_format="pyarrow").union(
+        losers.map_batches(tag_loser, batch_format="pyarrow")
+    )
+    return (
+        unioned.map_batches(AddBucket([id_col], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(rebuild, batch_format="pandas")
+    )
+
+
+def pixel_dedup_groups(ds, id_col: str = "image_id", bytes_col: str = "bytes",
+                       fmt_col: str = "fmt", num_buckets: int = 64):
+    """Exact IMAGE dedup by decoded-pixel digest: images whose decoded
+    payloads are byte-identical (same geometry, same pixels — e.g. the same
+    source re-encoded under the same codec, or straight file copies under a
+    different id) form one group; each row reports its group's canonical
+    (min) id and size.  The pixel-level complement of phash_neardup_pairs
+    (perceptual near-dups) and dedup_exact (text content hash); reference
+    analogue: chronon treats payloads as opaque binary columns
+    (api/thrift/api.thrift Source fields) — net-new multimodal surface.
+
+    Scale shape: payload bytes are DROPPED inside the decode stage — only
+    (id, digest128) rides the one group exchange (24 B/row); a duplicate
+    class of k images costs k compact rows in one bucket, never k payloads.
+    Digest = blake2b-128 over the decoded array bytes + geometry, so a false
+    merge needs a 128-bit collision (~2^-128; no known distinguisher) —
+    stronger than the 64-bit stance the text ops take because image rows
+    are fewer and far larger.  Returns (id, canonical_id, group_size), one
+    row per input row."""
+    import hashlib
+    import struct
+
+    def digest(batch: pd.DataFrame) -> pa.Table:
+        from ..stages.images import decode_images_bulk
+
+        pxs = decode_images_bulk(
+            batch[bytes_col].tolist(), batch[fmt_col].to_numpy()
+        )
+        d1 = np.empty(len(pxs), dtype=np.int64)
+        d2 = np.empty(len(pxs), dtype=np.int64)
+        for i, px in enumerate(pxs):
+            h = hashlib.blake2b(
+                struct.pack("<III", *px.shape) + px.tobytes(), digest_size=16
+            ).digest()
+            d1[i], d2[i] = struct.unpack("<qq", h)
+        return pa.table(
+            {
+                id_col: pa.array(batch[id_col]),
+                "d1": pa.array(d1, type=pa.int64()),
+                "d2": pa.array(d2, type=pa.int64()),
+            }
+        )
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(["d1", "d2"], sort=False)[id_col]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "canonical_id": gb.transform("min"),
+                "group_size": gb.transform("size").astype("int64"),
+            }
+        )
+
+    from ..stages.shuffle import BUCKET_COL, AddBucket
+
+    rows = ds.map_batches(digest, batch_format="pandas")
+    return (
+        rows.map_batches(AddBucket(["d1"], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(groups, batch_format="pandas")
+    )
+
+
 class SimHash:
     """map_batches: adds a 64-bit simhash over ASCII word tokens.
 

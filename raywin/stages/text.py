@@ -230,14 +230,16 @@ class PiiScrub:
 _GRAM_TOK_PAT = r"[0-9a-z_]+"
 
 
-def _word_gram_hashes(texts: pd.Series, n: int):
+def _word_gram_hashes(texts: pd.Series, n: int, with_starts: bool = False):
     """Vectorized word n-gram hashes over lowercase `[0-9a-z_]+` tokens:
     returns (gh: uint64[m], pos: int64[m]) where gh[i] is the Horner hash of
     n consecutive token hashes and pos[i] the 0-based row the gram belongs
-    to.  Hash = FNV offset seeded Horner with multiplier 1000003 over
-    `horner_texts` token hashes — collision-free in practice at 64 bits;
-    oracles compare the chr(31)-joined gram STRINGS instead (same
-    construction, DUPLICATE_SPANS_SQL / DECONTAMINATE_SQL)."""
+    to.  With ``with_starts`` also returns start: int64[m], the gram's
+    0-based token offset WITHIN its row's token stream (what span-removal
+    needs to address covered tokens).  Hash = FNV offset seeded Horner with
+    multiplier 1000003 over `horner_texts` token hashes — collision-free in
+    practice at 64 bits; oracles compare the chr(31)-joined gram STRINGS
+    instead (same construction, DUPLICATE_SPANS_SQL / DECONTAMINATE_SQL)."""
     import re
 
     from ..functions.texthash import horner_texts
@@ -246,20 +248,27 @@ def _word_gram_hashes(texts: pd.Series, n: int):
     s = texts.reset_index(drop=True).fillna("").str.lower()
     toks = s.str.findall(tok_re)
     ex = toks.explode().dropna()
+    empty = (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64))
     if len(ex) == 0:
-        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+        return empty + (empty[1],) if with_starts else empty
     th = horner_texts(ex.tolist())  # uint64 token hashes, vectorized
     pos = ex.index.to_numpy()
     m = len(th) - n + 1
     if m <= 0:
-        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+        return empty + (empty[1],) if with_starts else empty
     with np.errstate(over="ignore"):
         gh = np.full(m, np.uint64(14695981039346656037), dtype=np.uint64)
         for j in range(n):
             gh = gh * np.uint64(1000003) + th[j : j + m]
     # a gram is valid only when all n tokens belong to the same document
     valid = pos[:m] == pos[n - 1 :]
-    return gh[valid], pos[:m][valid].astype(np.int64)
+    if not with_starts:
+        return gh[valid], pos[:m][valid].astype(np.int64)
+    # token index within its row: arange minus each row's first exploded slot
+    row_first = np.flatnonzero(np.r_[True, pos[1:] != pos[:-1]])
+    counts = np.diff(np.r_[row_first, len(pos)])
+    tok_idx = np.arange(len(pos), dtype=np.int64) - np.repeat(row_first, counts)
+    return gh[valid], pos[:m][valid].astype(np.int64), tok_idx[:m][valid]
 
 
 def duplicate_span_stats(ds, text_col: str, id_col: str, n: int = 5,

@@ -166,3 +166,36 @@ def test_minhash_nonconvergence_warns(ray_session, tmp_path):
             ds, "text", "doc_id", local_edge_cutoff=0, max_rounds=2
         ).to_pandas()
     assert any("fixpoint" in str(w.message) for w in caught)
+
+
+def test_pixel_dedup_groups(ray_session):
+    """Exact image dedup groups by decoded-pixel digest: same pixels under
+    the same codec merge (even across different blobs being byte-identical),
+    same pixels under a quantizing codec do NOT merge with the lossless
+    original, and distinct images stay singletons."""
+    import ray.data
+
+    from raywin.stages.dedup import pixel_dedup_groups
+    from raywin.stages.images import make_pixels, png_encode, qimg_encode
+
+    px_a = make_pixels("a", 8, 8)
+    px_b = make_pixels("b", 12, 12)
+    rows = pd.DataFrame(
+        {
+            "image_id": ["a1", "a2", "a3", "b1", "b2", "c1"],
+            "bytes": [
+                png_encode(px_a), png_encode(px_a), png_encode(px_a),
+                png_encode(px_b),
+                qimg_encode(px_b),  # quantized round trip != png pixels
+                png_encode(make_pixels("c", 8, 8)),
+            ],
+            "fmt": ["png", "png", "png", "png", "qimg", "png"],
+        }
+    )
+    out = (
+        pixel_dedup_groups(ray.data.from_pandas(rows), num_buckets=4)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    assert out["image_id"].tolist() == ["a1", "a2", "a3", "b1", "b2", "c1"]
+    assert out["canonical_id"].tolist() == ["a1", "a1", "a1", "b1", "b2", "c1"]
+    assert out["group_size"].tolist() == [3, 3, 3, 1, 1, 1]

@@ -1,6 +1,7 @@
 """Unit edge cases for the round-3 corpus-prep stages (the catalog oracle
 covers the bulk behavior; these pin the degenerate inputs)."""
 
+import numpy as np
 import pandas as pd
 
 from raywin.stages.text import PiiScrub, RepetitionStats
@@ -239,3 +240,75 @@ def test_lm_quality_empty_docs(ray_session):
     want = round((2 * (math.log(3) - math.log(2)) + (math.log(3) - math.log(1))) / 3, 4)
     assert out.loc[1, "avg_neg_logp"] == want
     assert np.isnan(out.loc[2, "avg_neg_logp"]) and np.isnan(out.loc[3, "unigram_ppl"])
+
+
+def test_span_removal_hand(ray_session):
+    """Canonical-occurrence rule: duplicated n-grams survive only at their
+    first (doc, start); covered tokens elsewhere are removed."""
+    import ray.data
+
+    from raywin.stages.dedup import remove_duplicate_spans
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a b c d e",    # owns gram (a b c) -> untouched
+                "x a b c y",    # loses (a b c): tokens 1..3 removed
+                "a b c",        # loses everything
+                "hi",           # < n tokens: no grams
+                "",             # token-free survivor
+            ],
+        }
+    )
+    out = (
+        remove_duplicate_spans(ray.data.from_pandas(docs), "text", "doc_id",
+                               n=3, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+    assert out["clean_text"].tolist() == ["a b c d e", "x y", "", "hi", ""]
+    assert out["n_tokens"].tolist() == [5, 5, 3, 1, 0]
+    assert out["n_removed"].tolist() == [0, 3, 3, 0, 0]
+
+
+def test_span_removal_matches_brute(ray_session):
+    """Randomized corpus vs a positional brute-force recompute (overlapping
+    duplicated spans, same-doc repeats, punctuation tokenization)."""
+    import re
+
+    import ray.data
+
+    from raywin.stages.dedup import remove_duplicate_spans
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab: dense gram collisions
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 25))).tolist())
+        + (". " if i % 3 == 0 else "")
+        for i in range(40)
+    ]
+    n = 4
+    toks = [re.findall(r"[0-9a-z_]+", t.lower()) for t in texts]
+    occ: dict = {}
+    for d, tk in enumerate(toks):
+        for s in range(len(tk) - n + 1):
+            occ.setdefault(tuple(tk[s : s + n]), []).append((d, s))
+    removed = [set() for _ in texts]
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for d, s in sorted(lst)[1:]:
+                removed[d].update(range(s, s + n))
+    exp_text = [
+        " ".join(w for j, w in enumerate(tk) if j not in rm)
+        for tk, rm in zip(toks, removed)
+    ]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        remove_duplicate_spans(ray.data.from_pandas(docs), "text", "doc_id",
+                               n=n, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == exp_text
+    assert out["n_tokens"].tolist() == [len(tk) for tk in toks]
+    assert out["n_removed"].tolist() == [len(rm) for rm in removed]
