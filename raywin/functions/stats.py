@@ -117,3 +117,37 @@ def drift(ds_a, ds_b, column: str, bins: int = 20) -> dict:
     psi = float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
     hellinger = float(np.sqrt(0.5 * np.sum((np.sqrt(pa_) - np.sqrt(pb_)) ** 2)))
     return {"psi": psi, "hellinger": hellinger, "bins": bins}
+
+
+def exact_quantile_by_counting(ds, col: str, q: float):
+    """EXACT corpus quantile of an integer-valued (or low-cardinality) column
+    by distributed counting: per-batch (value, count) partials ride one
+    value-keyed exchange; the threshold is the smallest v whose cumulative
+    count reaches ceil(q * N) — the classic rank-by-histogram trick.
+
+    Scale shape: the exchange and the driver merge are bounded by the
+    column's CARDINALITY (an int score: thousands of distinct values), never
+    the row count, so this stays exact at 10^12 rows.  For continuous
+    unbounded scores use the mergeable QuantileSketch (summary_stats)
+    instead."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[col])
+        return pa.table(
+            {"v": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded by cardinality, not rows
+        .sort_values("v")
+    )
+    n = int(counts["cnt"].sum())
+    k = math.ceil(q * n)
+    return counts.loc[counts["cnt"].cumsum() >= k, "v"].iloc[0]

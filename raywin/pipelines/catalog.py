@@ -964,6 +964,109 @@ GROUP BY t.doc_id, len(t.toks)
 """
 
 
+def quantile_filter_docs(sf_dir: str):
+    """Corpus-statistic filter: keep documents at or above the exact corpus
+    MEDIAN length — the 'filter by a global distribution statistic' pipeline
+    shape (threshold pass + streaming filter pass).  The threshold is exact
+    via distributed counting (functions/stats.py:exact_quantile_by_counting,
+    cost bounded by value cardinality, never rows) and is captured as a
+    plain scalar in the filter closure — broadcast, never a join."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..functions.stats import exact_quantile_by_counting
+
+    thr = int(
+        exact_quantile_by_counting(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"]),
+            "n_chars",
+            0.5,
+        )
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_chars"], pa.scalar(thr))),
+        batch_format="pyarrow",
+    )
+
+
+QUANTILE_FILTER_SQL = """
+WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),
+w AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+t AS (SELECT min(v) AS thr FROM w
+      WHERE cum >= ceil(0.5 * (SELECT count(*) FROM documents)))
+SELECT doc_id, n_chars FROM documents, t WHERE n_chars >= t.thr
+"""
+
+
+# fixed conditioning shift for trend regressors: days since 2020-09-13 keeps
+# x in O(10^3) so the naive-sum slope/corr formulas stay well-conditioned
+_TREND_BASE_MS = 1_600_000_000_000
+
+
+def user_trend(sf_dir: str):
+    """Per-entity TREND features: least-squares slope/intercept of value
+    over time plus the time-value correlation, per user — the standard
+    'is this entity's behavior rising or falling' feature a GroupBy emits.
+    Two-column aggregates (covariance family) the windowed kernel's
+    single-input ops don't cover; computed with the same map-side
+    partial+merge shape as q1 (functions/relational.py:sql_group_agg): six
+    exact-formula sums per (batch, user) ride the exchange, never rows.
+    Float posture: both engines evaluate the IDENTICAL naive-sum closed
+    forms over x = days-since-base (no library regr_* whose internal
+    centering differs); residual low-bit divergence from partial-vs-serial
+    summation order sits ~1e-12 relative, far under the harness's 1e-6
+    rounding."""
+    import ray.data
+
+    from ..functions.relational import sql_group_agg
+
+    x = f"(epoch_ms(ts) - {_TREND_BASE_MS}) / 86400000.0"
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    slope = "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)"
+    return sql_group_agg(
+        ds,
+        keys=["user_id"],
+        partials={
+            "n": "count(*)",
+            "sx": f"sum({x})",
+            "sy": "sum(value)",
+            "sxy": f"sum(({x}) * value)",
+            "sxx": f"sum(({x}) * ({x}))",
+            "syy": "sum(value * value)",
+        },
+        merge={c: "sum" for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]},
+        finals={
+            "n_events": "n",
+            "value_slope_per_day": slope,
+            "value_intercept": f"(sy - ({slope}) * sx) / n",
+            "corr_ts_value": "(n * sxy - sx * sy)"
+            " / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)",
+        },
+        where="value IS NOT NULL",
+    )
+
+
+USER_TREND_SQL = f"""
+WITH e AS (SELECT user_id, (epoch_ms(ts) - {_TREND_BASE_MS}) / 86400000.0 AS x,
+                  value AS y
+           FROM events WHERE value IS NOT NULL),
+s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM e GROUP BY user_id)
+SELECT user_id, n AS n_events,
+  (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS value_slope_per_day,
+  (sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)) * sx) / n
+    AS value_intercept,
+  (n * sxy - sx * sy)
+    / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+    AS corr_ts_value
+FROM s
+"""
+
+
 def text_stats_docs(sf_dir: str):
     import ray.data
 
@@ -3189,6 +3292,8 @@ ORACLE_QUERIES = {
     "paragraph_dedup": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
     "duplicate_spans": (duplicate_spans_docs, DUPLICATE_SPANS_SQL),
     "span_removal": (span_removal_docs, SPAN_REMOVAL_SQL),
+    "quantile_filter": (quantile_filter_docs, QUANTILE_FILTER_SQL),
+    "user_trend": (user_trend, USER_TREND_SQL),
     "lm_quality": (lm_quality_docs, LM_QUALITY_SQL),
     "decontaminate": (decontaminate_docs, DECONTAMINATE_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),

@@ -1,0 +1,80 @@
+"""Trend aggregates and exact counting-quantile vs local numpy recomputes."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_exact_quantile_by_counting(ray_session):
+    import ray.data
+
+    from raywin.functions.stats import exact_quantile_by_counting
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 997)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(7)
+    srt = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 1.0):
+        got = exact_quantile_by_counting(ds, "v", q)
+        # smallest value whose cumulative count reaches ceil(q*N)
+        want = srt[math.ceil(q * len(vals)) - 1]
+        assert got == want, (q, got, want)
+
+
+def test_user_trend_matches_polyfit(ray_session, tmp_path):
+    """Distributed partial+merge slope/intercept/corr == numpy lstsq/corrcoef
+    on the same (days-since-base, value) pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from raywin.pipelines.catalog import _TREND_BASE_MS, user_trend
+
+    rng = np.random.default_rng(5)
+    n = 600
+    users = rng.integers(0, 8, n)
+    ts_ms = _TREND_BASE_MS + rng.integers(0, 400 * 86400000, n)
+    vals = rng.normal(10, 3, n) + users * 0.01 * (ts_ms - _TREND_BASE_MS) / 86400000.0
+    tbl = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts_ms * 1000, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = user_trend(str(tmp_path)).to_pandas().set_index("user_id").sort_index()
+    x_all = (ts_ms - _TREND_BASE_MS) / 86400000.0
+    for u in range(8):
+        m = users == u
+        x, y = x_all[m], vals[m]
+        slope, intercept = np.polyfit(x, y, 1)
+        corr = np.corrcoef(x, y)[0, 1]
+        row = out.loc[u]
+        assert row["n_events"] == m.sum()
+        assert row["value_slope_per_day"] == pytest.approx(slope, rel=1e-9)
+        assert row["value_intercept"] == pytest.approx(intercept, rel=1e-9)
+        assert row["corr_ts_value"] == pytest.approx(corr, rel=1e-9)
+
+
+def test_user_trend_degenerate_single_event(ray_session, tmp_path):
+    """A single-event user has zero x-variance: slope/intercept/corr NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raywin.pipelines.catalog import _TREND_BASE_MS, user_trend
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([(_TREND_BASE_MS + 1000) * 1000], pa.timestamp("us")),
+            "value": pa.array([5.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = user_trend(str(tmp_path)).to_pandas()
+    assert out["n_events"].tolist() == [1]
+    assert out["value_slope_per_day"].isna().all()
+    assert out["corr_ts_value"].isna().all()
