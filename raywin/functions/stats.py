@@ -151,3 +151,43 @@ def exact_quantile_by_counting(ds, col: str, q: float):
     n = int(counts["cnt"].sum())
     k = math.ceil(q * n)
     return counts.loc[counts["cnt"].cumsum() >= k, "v"].iloc[0]
+
+
+def percentile_rank_column(ds, col: str, out_col: str = "pct_rank",
+                           keep_cols: list | None = None):
+    """Percentile-rank normalization of an integer-valued (or
+    low-cardinality) column against the FULL corpus distribution:
+    out = #rows with value <= v / N (SQL cume_dist).  Pass 1 builds the
+    (value, cumulative-count) table by the same distributed counting as
+    exact_quantile_by_counting — bounded by cardinality, never rows; pass 2
+    broadcasts that small table into a map_batches searchsorted, so the
+    scoring pass is shuffle-free.  Exact across engines: both sides divide
+    the identical integer cum by the identical integer N."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[col])
+        return pa.table(
+            {"v": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded by cardinality, not rows
+        .sort_values("v")
+    )
+    values = counts["v"].to_numpy()
+    cum = counts["cnt"].cumsum().to_numpy(dtype=np.int64)
+    n_total = int(cum[-1]) if len(cum) else 0
+    cols = keep_cols if keep_cols is not None else [c for c in ds.schema().names]
+
+    def score(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False)
+        ranks = cum[np.searchsorted(values, x, side="right") - 1]
+        t = batch.select(cols)
+        return t.append_column(out_col, pa.array(ranks / n_total, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

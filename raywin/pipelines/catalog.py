@@ -1001,6 +1001,28 @@ SELECT doc_id, n_chars FROM documents, t WHERE n_chars >= t.thr
 """
 
 
+def percentile_normalize_docs(sf_dir: str):
+    """Percentile-rank score normalization (cume_dist): each document's
+    length mapped to its exact corpus percentile — the standard 'normalize a
+    quality score against the corpus distribution' prep step.  Distribution
+    pass bounded by value cardinality, scoring pass shuffle-free via a
+    broadcast searchsorted (functions/stats.py:percentile_rank_column)."""
+    import ray.data
+
+    from ..functions.stats import percentile_rank_column
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return percentile_rank_column(ds, "n_chars", keep_cols=["doc_id", "n_chars"])
+
+
+PERCENTILE_NORMALIZE_SQL = """
+SELECT doc_id, n_chars, cume_dist() OVER (ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
 # fixed conditioning shift for trend regressors: days since 2020-09-13 keeps
 # x in O(10^3) so the naive-sum slope/corr formulas stay well-conditioned
 _TREND_BASE_MS = 1_600_000_000_000
@@ -3293,6 +3315,7 @@ ORACLE_QUERIES = {
     "duplicate_spans": (duplicate_spans_docs, DUPLICATE_SPANS_SQL),
     "span_removal": (span_removal_docs, SPAN_REMOVAL_SQL),
     "quantile_filter": (quantile_filter_docs, QUANTILE_FILTER_SQL),
+    "percentile_normalize": (percentile_normalize_docs, PERCENTILE_NORMALIZE_SQL),
     "user_trend": (user_trend, USER_TREND_SQL),
     "lm_quality": (lm_quality_docs, LM_QUALITY_SQL),
     "decontaminate": (decontaminate_docs, DECONTAMINATE_SQL),

@@ -78,3 +78,23 @@ def test_user_trend_degenerate_single_event(ray_session, tmp_path):
     assert out["n_events"].tolist() == [1]
     assert out["value_slope_per_day"].isna().all()
     assert out["corr_ts_value"].isna().all()
+
+
+def test_percentile_rank_column(ray_session):
+    """pct_rank equals the cume_dist definition (#values <= v / N) exactly,
+    ties included."""
+    import ray.data
+
+    from raywin.functions.stats import percentile_rank_column
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 10, 200)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"id": np.arange(200), "v": vals})
+    ).repartition(5)
+    out = (
+        percentile_rank_column(ds, "v", keep_cols=["id", "v"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = np.array([(vals <= v).sum() for v in vals]) / len(vals)
+    assert np.array_equal(out["pct_rank"].to_numpy(), want)
