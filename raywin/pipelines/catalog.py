@@ -1001,6 +1001,86 @@ SELECT doc_id, n_chars FROM documents, t WHERE n_chars >= t.thr
 """
 
 
+_CHUNK, _CHUNK_STRIDE = 32, 24
+
+
+def doc_chunks(sf_dir: str):
+    """Fixed-size overlapping token-window chunking (context-window prep):
+    chunk k covers tokens [k*24, k*24+32); pure flat_map, no shuffle.  See
+    stages/text.py:chunk_documents."""
+    import ray.data
+
+    from ..stages.text import chunk_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, "text", "doc_id", chunk=_CHUNK, stride=_CHUNK_STRIDE)
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id,
+        regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS toks
+      FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, CASE WHEN len(toks) > 0
+                 THEN (len(toks) - 1) // {_CHUNK_STRIDE} + 1 ELSE 0 END)) AS k
+      FROM t)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+  CAST(least({_CHUNK}, len(toks) - k * {_CHUNK_STRIDE}) AS BIGINT)
+    AS n_chunk_tokens,
+  array_to_string(
+    list_slice(toks, k * {_CHUNK_STRIDE} + 1, k * {_CHUNK_STRIDE} + {_CHUNK}),
+    ' ') AS chunk_text
+FROM c
+"""
+
+
+_PACK_BLOCK = 64
+
+
+def token_pack_docs(sf_dir: str):
+    """GPT-style packing offsets: docs concatenated in id order, cut into
+    fixed 64-token training blocks; each doc's global token offset and
+    first/last block via the two-level distributed prefix sum in
+    stages/splits.py:token_pack (exchange bounded by #id-ranges, all-integer
+    so bit-exact cross-engine)."""
+    import ray.data
+
+    from ..stages.splits import token_pack
+    from ..stages.text import _GRAM_TOK_PAT
+
+    def add_ntok(df):
+        import re
+
+        df = df.copy()
+        df["n_tok"] = (
+            df["text"].fillna("").str.lower()
+            .str.count(_GRAM_TOK_PAT)
+            .astype("int64")
+        )
+        return df[["doc_id", "n_tok"]]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counted = ds.map_batches(add_ntok, batch_format="pandas")
+    return token_pack(counted, "doc_id", "n_tok", block=_PACK_BLOCK, range_width=100)
+
+
+TOKEN_PACK_SQL = f"""
+WITH t AS (SELECT doc_id,
+        len(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+'))
+          AS n_tok
+      FROM documents),
+s AS (SELECT doc_id, n_tok,
+        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(start_tok // {_PACK_BLOCK} AS BIGINT) AS block_first,
+  CAST((start_tok + n_tok - 1) // {_PACK_BLOCK} AS BIGINT) AS block_last
+FROM s WHERE n_tok > 0
+"""
+
+
 def percentile_normalize_docs(sf_dir: str):
     """Percentile-rank score normalization (cume_dist): each document's
     length mapped to its exact corpus percentile — the standard 'normalize a
@@ -3316,6 +3396,8 @@ ORACLE_QUERIES = {
     "span_removal": (span_removal_docs, SPAN_REMOVAL_SQL),
     "quantile_filter": (quantile_filter_docs, QUANTILE_FILTER_SQL),
     "percentile_normalize": (percentile_normalize_docs, PERCENTILE_NORMALIZE_SQL),
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "token_pack": (token_pack_docs, TOKEN_PACK_SQL),
     "user_trend": (user_trend, USER_TREND_SQL),
     "lm_quality": (lm_quality_docs, LM_QUALITY_SQL),
     "decontaminate": (decontaminate_docs, DECONTAMINATE_SQL),

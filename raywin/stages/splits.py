@@ -95,3 +95,87 @@ def stratified_sample(ds, stratum_col: str, id_col: str, n_per_stratum: int):
         return out
 
     return pruned.groupby(stratum_col).map_groups(_final, batch_format="pandas")
+
+
+def token_pack(ds, id_col: str, ntok_col: str, block: int,
+               range_width: int = 1 << 20, num_buckets: int = 64):
+    """GPT-style sequence-packing offsets: documents are conceptually
+    concatenated in id order and the stream is cut into fixed ``block``-token
+    training blocks (documents may straddle block boundaries — the standard
+    causal-LM packing rule); each document gets its global token offset and
+    the first/last block it touches.
+
+    Distributed EXCLUSIVE PREFIX SUM with the scale-safe two-level shape:
+    pass 1 reduces per-batch partial token sums keyed by the contiguous id
+    range ``id // range_width`` — the exchange and the driver merge are
+    bounded by #ranges (ids/range_width, ~10^6 at 10^12 docs with the
+    default width), never by rows; pass 2 broadcasts the per-range base
+    offsets into one range-co-partitioned exchange where each range computes
+    its internal cumsum vectorized.  All-integer math, so the result is
+    bit-exact across engines, runs, and partitionings.
+
+    Zero-token docs are dropped (they occupy no stream positions).  Returns
+    (id, n_tok, start_tok, block_first, block_last)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import BUCKET_COL, AddBucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ntok = batch[ntok_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = ids // range_width
+        uniq, inv = np.unique(rng, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, ntok)
+        return pa.table(
+            {"rng": pa.array(uniq, pa.int64()), "tsum": pa.array(sums, pa.int64())}
+        )
+
+    per_range = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rng")
+        .aggregate(Sum("tsum", alias_name="tsum"))
+        .to_pandas()  # bounded by #ranges, not rows
+        .sort_values("rng")
+    )
+    totals = per_range["tsum"].to_numpy(dtype=np.int64)
+    base = {
+        int(r): int(b)
+        for r, b in zip(
+            per_range["rng"].to_numpy(),
+            np.concatenate([[0], np.cumsum(totals[:-1])]),
+        )
+    }
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        ntok = g[ntok_col].to_numpy(dtype=np.int64)
+        rng = ids // range_width
+        within = g.groupby(rng, sort=False)[ntok_col].cumsum().to_numpy(
+            dtype=np.int64
+        ) - ntok
+        start = np.asarray([base[int(r)] for r in np.unique(rng)])[
+            np.unique(rng, return_inverse=True)[1]
+        ] + within
+        keep = ntok > 0
+        return pd.DataFrame(
+            {
+                id_col: ids[keep],
+                "n_tok": ntok[keep],
+                "start_tok": start[keep],
+                "block_first": start[keep] // block,
+                "block_last": (start[keep] + ntok[keep] - 1) // block,
+            }
+        )
+
+    def add_rng(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.append_column("rng", pa.array(ids // range_width, pa.int64()))
+
+    return (
+        ds.map_batches(add_rng, batch_format="pyarrow")
+        .map_batches(AddBucket(["rng"], num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(pack, batch_format="pandas")
+    )

@@ -271,6 +271,50 @@ def _word_gram_hashes(texts: pd.Series, n: int, with_starts: bool = False):
     return gh[valid], pos[:m][valid].astype(np.int64), tok_idx[:m][valid]
 
 
+def chunk_documents(ds, text_col: str, id_col: str, chunk: int = 32,
+                    stride: int = 24):
+    """Fixed-size overlapping token-window chunking (the context-window prep
+    step before packing/embedding): chunk k of a document covers tokens
+    [k*stride, k*stride + chunk); chunks are emitted while k*stride <
+    n_tokens, so every token lands in >= 1 chunk and the final chunk may be
+    short.  Tokens are the engine's standard lowercase `[0-9a-z_]+` rule so
+    the SQL oracle reproduces chunks exactly.
+
+    Scale shape: pure flat_map — one map_batches, no shuffle; output rows ~
+    n_tokens / stride.  Returns (id, chunk_idx, n_chunk_tokens,
+    chunk_text); token-free docs emit no chunks."""
+    import re
+
+    tok_re = re.compile(_GRAM_TOK_PAT)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re)
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        n_chunks = np.where(counts > 0, (counts - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        off = np.zeros(len(n_chunks), dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=off[1:])
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(off, n_chunks)
+        rows = np.repeat(np.arange(len(counts)), n_chunks)
+        tok_lists = toks.to_numpy()
+        texts_out = [
+            " ".join(tok_lists[r][k * stride : k * stride + chunk])
+            for r, k in zip(rows, cidx)
+        ]
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), n_chunks),
+                "chunk_idx": cidx,
+                "n_chunk_tokens": np.minimum(
+                    chunk, counts[rows] - cidx * stride
+                ).astype("int64"),
+                "chunk_text": texts_out,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
 def duplicate_span_stats(ds, text_col: str, id_col: str, n: int = 5,
                          hot: int = 2, num_buckets: int = 64):
     """Cross-document duplicated-span signal (Lee et al. 2022 / Gopher

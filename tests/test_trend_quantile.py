@@ -98,3 +98,63 @@ def test_percentile_rank_column(ray_session):
     )
     want = np.array([(vals <= v).sum() for v in vals]) / len(vals)
     assert np.array_equal(out["pct_rank"].to_numpy(), want)
+
+
+def test_chunk_documents_edges(ray_session):
+    """Window rule k*stride < n_tokens: boundary, short, and empty docs."""
+    import ray.data
+
+    from raywin.stages.text import chunk_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                " ".join(f"w{i}" for i in range(7)),  # n=7, chunk 3 stride 2 -> 4 chunks
+                "a b",                                 # one short chunk
+                "x",                                   # single token
+                "",                                    # no chunks
+            ],
+        }
+    )
+    out = (
+        chunk_documents(ray.data.from_pandas(docs), "text", "doc_id",
+                        chunk=3, stride=2)
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 1, 1, 1, 2, 3]
+    assert out["chunk_idx"].tolist() == [0, 1, 2, 3, 0, 0]
+    assert out["n_chunk_tokens"].tolist() == [3, 3, 3, 1, 2, 1]
+    assert out.loc[3, "chunk_text"] == "w6"
+    assert out.loc[0, "chunk_text"] == "w0 w1 w2"
+    assert out.loc[4, "chunk_text"] == "a b"
+
+
+def test_token_pack_matches_serial(ray_session):
+    """Distributed two-level prefix sum == serial cumsum, across range and
+    block boundaries, with zero-token docs dropped."""
+    import ray.data
+
+    from raywin.stages.splits import token_pack
+
+    rng = np.random.default_rng(13)
+    n = 237
+    ntok = rng.integers(0, 9, n)  # includes zeros
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "n_tok": ntok})
+    ).repartition(9)
+    block, width = 16, 10  # small range width: many cross-range carries
+    out = (
+        token_pack(ds, "doc_id", "n_tok", block=block, range_width=width,
+                   num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    start_all = np.concatenate([[0], np.cumsum(ntok[:-1])])
+    keep = ntok > 0
+    assert out["doc_id"].tolist() == ids[keep].tolist()
+    assert out["start_tok"].tolist() == start_all[keep].tolist()
+    assert out["block_first"].tolist() == (start_all[keep] // block).tolist()
+    assert out["block_last"].tolist() == (
+        (start_all[keep] + ntok[keep] - 1) // block
+    ).tolist()
