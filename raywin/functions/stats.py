@@ -191,3 +191,49 @@ def percentile_rank_column(ds, col: str, out_col: str = "pct_rank",
         return t.append_column(out_col, pa.array(ranks / n_total, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def robust_outlier_flags(ds, key_col: str, value_col: str, k: float = 3.0,
+                         num_buckets: int = 64):
+    """Per-group robust outlier flags (median / MAD, the data-quality
+    screen that doesn't let the outliers move their own threshold the way
+    mean/std do): a row is flagged when |v - median| > k * MAD, both
+    statistics the EXACT lower-median element of the group's own data
+    (quantile_disc semantics), so every emitted number is an element or an
+    exact arithmetic combination of input doubles — bit-exact cross-engine.
+
+    Scale shape: ONE hash-bucket exchange keyed by the group column; both
+    medians come from two vectorized lexsorts per partition (no per-group
+    Python), groups with MAD = 0 (constant or tiny) flag nothing.  Returns
+    the input columns + (med, mad, is_outlier)."""
+    from ..stages.shuffle import BUCKET_COL, AddBucket
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key_col].to_numpy()
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        n = len(g)
+        order = np.lexsort((vals, keys))
+        ks, vs = keys[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        cnts = np.diff(np.r_[starts, n])
+        med_idx = starts + (cnts - 1) // 2
+        gidx = np.repeat(np.arange(len(starts)), cnts)
+        med_sorted = vs[med_idx][gidx]
+        dev_sorted = np.abs(vs - med_sorted)
+        # second per-group sort on deviations: same boundaries (keys lead)
+        order2 = np.lexsort((dev_sorted, ks))
+        mad_sorted = dev_sorted[order2][med_idx][gidx]
+        med = np.empty(n)
+        mad = np.empty(n)
+        med[order] = med_sorted
+        mad[order] = mad_sorted
+        out = g.drop(columns=[BUCKET_COL])
+        out["med"] = med
+        out["mad"] = mad
+        out["is_outlier"] = np.abs(vals - med) > k * mad
+        return out
+
+    bucketed = ds.map_batches(
+        AddBucket([key_col], num_buckets), batch_format="pyarrow"
+    )
+    return bucketed.groupby(BUCKET_COL).map_groups(flag, batch_format="pandas")

@@ -1001,6 +1001,37 @@ SELECT doc_id, n_chars FROM documents, t WHERE n_chars >= t.thr
 """
 
 
+def outlier_flags(sf_dir: str):
+    """Per-user robust outlier screen: |value - median| > 3 * MAD with both
+    statistics the exact lower-median element of the user's own events
+    (quantile_disc semantics -> bit-exact cross-engine).  One hash-bucket
+    exchange; see functions/stats.py:robust_outlier_flags."""
+    import ray.data
+
+    from ..functions.stats import robust_outlier_flags
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    out = robust_outlier_flags(ds, "user_id", "value", k=3.0)
+    return out.select_columns(
+        ["event_id", "user_id", "value", "med", "mad", "is_outlier"]
+    )
+
+
+OUTLIER_FLAGS_SQL = """
+WITH s AS (SELECT user_id, quantile_disc(value, 0.5) AS med
+           FROM events GROUP BY user_id),
+d AS (SELECT e.event_id, e.user_id, e.value, s.med,
+             abs(e.value - s.med) AS dev
+      FROM events e JOIN s USING (user_id)),
+m AS (SELECT user_id, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY user_id)
+SELECT d.event_id, d.user_id, d.value, d.med, m.mad,
+       (d.dev > 3 * m.mad) AS is_outlier
+FROM d JOIN m USING (user_id)
+"""
+
+
 _CHUNK, _CHUNK_STRIDE = 32, 24
 
 
@@ -3397,6 +3428,7 @@ ORACLE_QUERIES = {
     "quantile_filter": (quantile_filter_docs, QUANTILE_FILTER_SQL),
     "percentile_normalize": (percentile_normalize_docs, PERCENTILE_NORMALIZE_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "outlier_flags": (outlier_flags, OUTLIER_FLAGS_SQL),
     "token_pack": (token_pack_docs, TOKEN_PACK_SQL),
     "user_trend": (user_trend, USER_TREND_SQL),
     "lm_quality": (lm_quality_docs, LM_QUALITY_SQL),

@@ -158,3 +158,42 @@ def test_token_pack_matches_serial(ray_session):
     assert out["block_last"].tolist() == (
         (start_all[keep] + ntok[keep] - 1) // block
     ).tolist()
+
+
+def test_robust_outlier_flags(ray_session):
+    """median/MAD flags vs a per-group brute force; constant groups (MAD=0)
+    and singletons flag nothing."""
+    import ray.data
+
+    from raywin.functions.stats import robust_outlier_flags
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(0, 1, 120)
+    base[::17] += 40  # planted spikes
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(126),
+            "grp": np.r_[np.repeat([1, 2, 3], 40), [4, 4, 4, 5, 6, 7]],
+            "v": np.r_[base, [9.0, 9.0, 9.0], [2.0], [3.0], [4.0]],
+        }
+    )
+    out = (
+        robust_outlier_flags(
+            ray.data.from_pandas(df).repartition(5), "grp", "v", k=3.0,
+            num_buckets=4,
+        )
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    for g, sub in df.groupby("grp"):
+        vs = np.sort(sub["v"].to_numpy())
+        med = vs[(len(vs) - 1) // 2]
+        dev = np.sort(np.abs(sub["v"].to_numpy() - med))
+        mad = dev[(len(dev) - 1) // 2]
+        rows = out[out["grp"] == g].set_index("rid")
+        assert (rows["med"] == med).all() and (rows["mad"] == mad).all()
+        want = np.abs(sub.set_index("rid")["v"] - med) > 3 * mad
+        assert rows["is_outlier"].equals(want)
+    # constant + singleton groups flag nothing
+    assert not out[out["grp"] >= 4]["is_outlier"].any()
+    # the planted spikes are caught
+    assert out[out["grp"] <= 3]["is_outlier"].sum() >= 6
