@@ -460,8 +460,15 @@ def remove_duplicate_spans(ds, text_col: str, id_col: str, n: int = 5,
         rid = np.repeat(marks[id_col].to_numpy(), n)
         rj = (marks["s"].to_numpy(dtype=np.int64)[:, None]
               + np.arange(n, dtype=np.int64)[None, :]).ravel()
-        keep = ~pd.MultiIndex.from_arrays([doc_ids, j]).isin(
-            pd.MultiIndex.from_arrays([rid, rj])
+        # membership via dense integer keys (docs factorized bucket-locally,
+        # key = dense_doc * width + token_idx) — a sort-based np.isin, ~10x
+        # cheaper than tuple-object MultiIndex matching on wide buckets
+        uniq_docs, dense = np.unique(doc_ids, return_inverse=True)
+        width = int(counts.max()) + 1 if len(counts) else 1
+        mark_dense = np.searchsorted(uniq_docs, rid)  # same-bucket ids: exact
+        keep = ~np.isin(
+            dense.astype(np.int64) * width + j,
+            mark_dense.astype(np.int64) * width + rj,
         )
         kept = pd.DataFrame({id_col: doc_ids[keep], "tok": flat.to_numpy()[keep]})
         agg = kept.groupby(id_col, sort=False)["tok"].agg(" ".join)
